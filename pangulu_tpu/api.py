@@ -1,0 +1,203 @@
+"""Public API: init / gstrf / gstrs / gssv / finalize.
+
+Mirrors the reference's five exported entry points and options struct
+(include/pangulu.h:11-15, include/pangulu_interface_common.h:3-20,
+src/pangulu.c:11-345), with a Pythonic :class:`Solver` wrapper on top.
+
+    opts   = InitOptions(nb=128, dtype="r64")
+    handle = init(A, b=None, opts=opts)        # reorder+symbolic+tile
+    gstrf(handle)                              # numeric factorization
+    x = gstrs(handle, b)                       # triangular solves
+    finalize(handle)
+
+Or simply ``x = Solver(A).solve(b)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from pangulu_tpu.blocks import BlockedMatrix, gather_factor, tile_matrix
+from pangulu_tpu.numeric import LUFactorizer
+from pangulu_tpu.ops.interface import get_backend
+from pangulu_tpu.reorder import Reordering, reorder
+from pangulu_tpu.schedule import Schedule, build_schedule
+from pangulu_tpu.sparse import VALUE_DTYPES, CscMatrix, add_diagonal_elements
+from pangulu_tpu.sptrsv import TriangularSolver
+from pangulu_tpu.symbolic import SymbolicResult, symbolic
+from pangulu_tpu.utils.log import config_banner, get_logger
+from pangulu_tpu.utils.perf import PerfCounters
+
+log = get_logger()
+
+
+@dataclasses.dataclass
+class InitOptions:
+    """Runtime options (reference: pangulu_init_options,
+    include/pangulu_interface_common.h:3-12, plus the compile-time
+    PANGULU_FLAGS promoted to runtime options)."""
+
+    nb: int = 128                # block size (reference default 256,
+                                 # pangulu.c:52-56; 128 is the MXU tile)
+    dtype: str = "r64"           # r32 | r64 | cr32 | cr64
+    mc64: bool = True            # -DPANGULU_MC64
+    ordering: str = "auto"       # METIS analogue: mindeg|rcm|natural|auto
+    symbolic_mode: str = "auto"  # scalar | block | auto
+    backend: str = "auto"        # kernel backend: jax | pallas | auto
+    tol: Optional[float] = None  # tiny-pivot substitution threshold
+    check: bool = False          # -DPANGULU_PERF residual check
+    nthread: int = 0             # accepted for parity; XLA manages threads
+    mesh_shape: Optional[tuple] = None  # (p, q) for multi-chip; None=1 chip
+
+    def resolve_dtype(self):
+        if self.dtype not in VALUE_DTYPES:
+            raise ValueError(
+                f"dtype must be one of {sorted(VALUE_DTYPES)}, got "
+                f"{self.dtype!r} (reference value types, pangulu_common.h:11-33)")
+        return VALUE_DTYPES[self.dtype]
+
+
+@dataclasses.dataclass
+class Handle:
+    """Solver handle (reference: pangulu_handle_t,
+    src/pangulu_common.h:374-379)."""
+
+    opts: InitOptions
+    a_origin: sp.csc_matrix            # original matrix (residual checks)
+    reordering: Reordering
+    symbolic_result: SymbolicResult
+    blocked: BlockedMatrix
+    schedule: Schedule
+    perf: PerfCounters
+    factor_tiles: object = None        # device tiles after gstrf
+    _factorizer: object = None
+    _trisolver: object = None
+    _dist: object = None               # multi-chip executor state
+
+
+def init(a, opts: InitOptions | None = None) -> Handle:
+    """Reorder -> symbolic -> tile (reference: pangulu_init,
+    pangulu.c:11-208)."""
+    opts = opts or InitOptions()
+    dtype = opts.resolve_dtype()
+    if opts.nb <= 0:
+        opts.nb = 128
+    if not isinstance(a, CscMatrix):
+        a = CscMatrix.from_scipy(sp.csc_matrix(a))
+    a = a.astype(dtype)
+    a_origin = a.to_scipy().copy()
+    perf = PerfCounters()
+
+    a = add_diagonal_elements(a)
+    with perf.phase("reorder"):
+        ro = reorder(a, mc64=opts.mc64, ordering=opts.ordering)
+    symb_mode = opts.symbolic_mode
+    if symb_mode == "auto":
+        symb_mode = "scalar" if a.n <= 200_000 else "block"
+    with perf.phase("symbolic"):
+        symb = symbolic(ro.reordered, opts.nb, mode=symb_mode)
+    with perf.phase("preprocess"):
+        blocked = tile_matrix(ro.reordered, symb)
+        schedule = build_schedule(blocked)
+
+    log.info(config_banner(opts, a.n, a.nnz, opts.mesh_shape))
+    log.info("symbolic nnz = %d (%s mode), block_length = %d, tiles = %d",
+             symb.symbolic_nnz, symb_mode, symb.block_length,
+             blocked.num_tiles)
+    return Handle(
+        opts=opts, a_origin=a_origin, reordering=ro, symbolic_result=symb,
+        blocked=blocked, schedule=schedule, perf=perf,
+    )
+
+
+def gstrf(handle: Handle) -> None:
+    """Numeric factorization (reference: pangulu_gstrf, pangulu.c:211)."""
+    backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
+                          dtype=handle.blocked.tiles.dtype)
+    if handle.opts.mesh_shape is not None:
+        from pangulu_tpu.parallel.dist_numeric import DistributedLU
+
+        dist = DistributedLU(handle.blocked, handle.schedule,
+                             handle.opts.mesh_shape, backend=backend,
+                             perf=handle.perf)
+        handle._dist = dist
+        handle.factor_tiles = dist.factorize()
+    else:
+        handle._factorizer = LUFactorizer(
+            handle.blocked, handle.schedule, backend=backend,
+            perf=handle.perf)
+        handle.factor_tiles = handle._factorizer.factorize()
+    log.info(handle.perf.summary())
+    if handle.opts.check:
+        lmat, umat = gather_factor(handle.blocked,
+                                   np.asarray(handle.factor_tiles))
+        from pangulu_tpu.utils.perf import factorization_residual
+
+        res = factorization_residual(
+            handle.reordering.reordered.to_scipy(), lmat, umat)
+        log.info("gstrf check ||L(U*1)-A*1||/||A*1|| = %.3e", res)
+        handle.perf.kernels["gstrf_residual"] = res
+
+
+def gstrs(handle: Handle, b: np.ndarray) -> np.ndarray:
+    """Triangular solves for one or many rhs (reference: pangulu_gstrs,
+    pangulu.c:271): reorder b, solve, un-reorder x."""
+    if handle.factor_tiles is None:
+        raise RuntimeError("gstrs called before gstrf (reference aborts "
+                           "the same way)")
+    b = np.asarray(b, dtype=handle.blocked.tiles.dtype)
+    bt = handle.reordering.transform_b(b)
+    if handle._trisolver is None:
+        backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
+                              dtype=handle.blocked.tiles.dtype)
+        handle._trisolver = TriangularSolver(
+            handle.blocked, handle.schedule, backend=backend,
+            perf=handle.perf)
+    w = handle._trisolver.solve(handle.factor_tiles, bt)
+    return handle.reordering.transform_x(w).astype(b.dtype)
+
+
+def gssv(handle: Handle, b: np.ndarray) -> np.ndarray:
+    """Factor + solve (reference: pangulu_gssv, pangulu.c:327)."""
+    gstrf(handle)
+    return gstrs(handle, b)
+
+
+def finalize(handle: Handle) -> None:
+    """Release device buffers (reference: pangulu_finalize,
+    pangulu.c:333)."""
+    handle.factor_tiles = None
+    handle._factorizer = None
+    handle._trisolver = None
+    handle._dist = None
+
+
+class Solver:
+    """Convenience wrapper: ``x = Solver(A).solve(b)``."""
+
+    def __init__(self, a, opts: InitOptions | None = None, **kw):
+        if opts is None and kw:
+            opts = InitOptions(**kw)
+        self.handle = init(a, opts)
+        self._factored = False
+
+    def factor(self) -> "Solver":
+        gstrf(self.handle)
+        self._factored = True
+        return self
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        if not self._factored:
+            self.factor()
+        return gstrs(self.handle, b)
+
+    @property
+    def perf(self) -> PerfCounters:
+        return self.handle.perf
+
+    def close(self):
+        finalize(self.handle)

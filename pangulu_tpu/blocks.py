@@ -1,0 +1,179 @@
+"""Block tiling: scalar CSC -> dense nb x nb MXU tiles.
+
+Counterpart of the reference's distribution/storage pipeline
+(``pangulu_cm_distribute_csc_to_distbcsc``,
+pangulu_communication.c:227-761, and the slot/bin block store,
+``pangulu_storage.c``), redesigned TPU-first:
+
+  * every block present in the symbolic pattern is ONE dense nb x nb
+    tile in a single ``[num_tiles + 1, nb, nb]`` device array (the last
+    tile is a scratch slot that absorbs padded scatter/gather traffic —
+    the static-shape replacement for the reference's recyclable recv
+    bins);
+  * tile ids are the CSC order of the block pattern, so a column's
+    L-panel and a row's U-panel are contiguous id ranges where possible;
+  * there is no host<->device block traffic during factorization: tiles
+    live in HBM for the whole solve (the reference's GPU mirror +
+    download-after-kernel dance, pangulu_storage.c:295-422 /
+    0201000.cu:639-714, has no TPU analogue by design).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+from pangulu_tpu.sparse import CscMatrix
+from pangulu_tpu.symbolic import SymbolicResult
+
+# Above this block_length a dense (bl, bl) lookup table would dominate
+# memory; fall back to per-column binary search.
+_DENSE_LOOKUP_MAX_BL = 6000
+
+
+@dataclasses.dataclass
+class BlockedMatrix:
+    n: int
+    nb: int
+    block_length: int
+    num_tiles: int
+    # Block pattern in BCSC (block compressed sparse column):
+    bcolptr: np.ndarray   # (bl+1,)
+    browidx: np.ndarray   # (num_tiles,)
+    # and BCSR for row-wise traversal:
+    brownnzptr: np.ndarray  # (bl+1,)
+    bcolidx: np.ndarray     # (num_tiles,) column index per row-ordered block
+    tile_of_csr: np.ndarray  # (num_tiles,) tile id per BCSR position
+    tiles: np.ndarray     # (num_tiles + 1, nb, nb) host values; device copy
+                          # is made by the numeric engine
+    _lookup: np.ndarray | None = None  # dense (bl, bl) -> tile id or -1
+
+    def tile_id(self, bi, bj):
+        """Tile id of block (bi, bj), or -1 if not in the pattern."""
+        if self._lookup is not None:
+            return int(self._lookup[bi, bj])
+        lo, hi = self.bcolptr[bj], self.bcolptr[bj + 1]
+        pos = np.searchsorted(self.browidx[lo:hi], bi)
+        if pos < hi - lo and self.browidx[lo + pos] == bi:
+            return int(lo + pos)
+        return -1
+
+    def tile_ids(self, bi_arr, bj_arr):
+        """Vectorized tile_id over arrays (requires dense lookup)."""
+        if self._lookup is not None:
+            return self._lookup[bi_arr, bj_arr]
+        return np.array([self.tile_id(i, j)
+                         for i, j in zip(bi_arr, bj_arr)], dtype=np.int64)
+
+
+def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
+    """Scatter A's values into dense tiles over the symbolic block
+    pattern (reference: pangulu_convert_block_fill_value_to_struct,
+    pangulu_conversion.c:241-350)."""
+    n, nb, bl = symb.n, symb.nb, symb.block_length
+    pat = symb.block_full.tocsc()
+    pat.sort_indices()
+    bcolptr = pat.indptr.astype(np.int64)
+    browidx = pat.indices.astype(np.int64)
+    num_tiles = len(browidx)
+
+    lookup = None
+    if bl <= _DENSE_LOOKUP_MAX_BL:
+        lookup = np.full((bl, bl), -1, dtype=np.int64)
+        cols = np.repeat(np.arange(bl), np.diff(bcolptr))
+        lookup[browidx, cols] = np.arange(num_tiles)
+
+    # BCSR view with tile-id map (reference keeps CSR mirrors with
+    # value-index maps, pangulu_utils.c:479-544).
+    csr = pat.tocsr()
+    csr.sort_indices()
+    cols = np.repeat(np.arange(bl), np.diff(bcolptr))
+    # row-major permutation of the csc entries = tile id per BCSR slot
+    tile_of_csr = np.lexsort((cols, browidx))
+
+    tiles = np.zeros((num_tiles + 1, nb, nb), dtype=a.values.dtype)
+    # Vectorized scatter of all nnz.
+    coo = a.to_scipy().tocoo()
+    bi = coo.row // nb
+    bj = coo.col // nb
+    ri = coo.row % nb
+    cj = coo.col % nb
+    if lookup is not None:
+        tid = lookup[bi, bj]
+    else:
+        tid = np.empty(len(bi), dtype=np.int64)
+        # group by column block for binary search
+        for t in range(len(bi)):
+            lo, hi = bcolptr[bj[t]], bcolptr[bj[t] + 1]
+            pos = np.searchsorted(browidx[lo:hi], bi[t])
+            tid[t] = lo + pos
+    if np.any(tid < 0):
+        raise AssertionError("A entry outside symbolic pattern")
+    np.add.at(tiles, (tid, ri, cj), coo.data)
+
+    # Last diagonal block may pad past n: put ones on the padded
+    # diagonal so its GETRF is exact (padding never contaminates the
+    # valid region — its L column and U row stay zero).
+    rem = n % nb
+    if rem:
+        last_diag = lookup[bl - 1, bl - 1] if lookup is not None else None
+        if last_diag is None:
+            lo, hi = bcolptr[bl - 1], bcolptr[bl]
+            pos = np.searchsorted(browidx[lo:hi], bl - 1)
+            last_diag = lo + pos
+        pad = np.arange(rem, nb)
+        tiles[last_diag, pad, pad] = 1.0
+
+    return BlockedMatrix(
+        n=n, nb=nb, block_length=bl, num_tiles=num_tiles,
+        bcolptr=bcolptr, browidx=browidx,
+        brownnzptr=csr.indptr.astype(np.int64),
+        bcolidx=csr.indices.astype(np.int64),
+        tile_of_csr=tile_of_csr,
+        tiles=tiles, _lookup=lookup,
+    )
+
+
+def gather_factor(blocked: BlockedMatrix, tiles_np: np.ndarray):
+    """Reassemble (L, U) scipy matrices from factored tiles (testing /
+    export).  L has unit diagonal; U includes the diagonal."""
+    n, nb, bl = blocked.n, blocked.nb, blocked.block_length
+    rows_l, cols_l, vals_l = [], [], []
+    rows_u, cols_u, vals_u = [], [], []
+    for bj in range(bl):
+        for p in range(blocked.bcolptr[bj], blocked.bcolptr[bj + 1]):
+            bi = blocked.browidx[p]
+            t = tiles_np[p]
+            r0, c0 = bi * nb, bj * nb
+            rr, cc = np.nonzero(t)
+            gr, gc = rr + r0, cc + c0
+            keep = (gr < n) & (gc < n)
+            gr, gc = gr[keep], gc[keep]
+            v = t[rr[keep], cc[keep]]
+            if bi > bj:
+                rows_l.append(gr); cols_l.append(gc); vals_l.append(v)
+            elif bi < bj:
+                rows_u.append(gr); cols_u.append(gc); vals_u.append(v)
+            else:
+                low = gr > gc
+                rows_l.append(gr[low]); cols_l.append(gc[low])
+                vals_l.append(v[low])
+                rows_u.append(gr[~low]); cols_u.append(gc[~low])
+                vals_u.append(v[~low])
+    dtype = tiles_np.dtype
+
+    def _build(rows, cols, vals, add_unit_diag):
+        r = np.concatenate(rows) if rows else np.empty(0, np.int64)
+        c = np.concatenate(cols) if cols else np.empty(0, np.int64)
+        v = np.concatenate(vals) if vals else np.empty(0, dtype)
+        m = sp.csc_matrix((v, (r, c)), shape=(n, n))
+        m = m[:n, :n]
+        if add_unit_diag:
+            m = m + sp.identity(n, dtype=dtype, format="csc")
+        return m
+
+    lmat = _build(rows_l, cols_l, vals_l, True)
+    umat = _build(rows_u, cols_u, vals_u, False)
+    return lmat, umat

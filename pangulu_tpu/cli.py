@@ -1,0 +1,92 @@
+"""CLI driver — counterpart of the reference example driver
+(examples/example.c): read a .mtx matrix (and optional rhs), run
+init/gstrf/gstrs, report residual and perf.
+
+    python -m pangulu_tpu.cli -f matrix.mtx -nb 128 [-r rhs.txt]
+                              [--dtype r64] [--check]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pangulu_tpu",
+                                 description=__doc__)
+    ap.add_argument("-f", "--file", required=True, help=".mtx matrix file")
+    ap.add_argument("-nb", type=int, default=128, help="block size")
+    ap.add_argument("-r", "--rhs", default=None,
+                    help="rhs file (default: b = A @ ones)")
+    ap.add_argument("--dtype", default="r64",
+                    choices=["r32", "r64", "cr32", "cr64"])
+    ap.add_argument("--ordering", default="auto",
+                    choices=["auto", "mindeg", "rcm", "natural"])
+    ap.add_argument("--symbolic", default="auto",
+                    choices=["auto", "scalar", "block"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "jax", "pallas"])
+    ap.add_argument("--no-mc64", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="run the gstrf residual check (reference "
+                         "-DPANGULU_PERF)")
+    ap.add_argument("--mesh", default=None,
+                    help="p,q mesh shape for multi-chip (e.g. 2,2)")
+    ap.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu", "tpu"],
+                    help="force a JAX platform (r64/cr64 run fastest on "
+                         "cpu when no native-f64 accelerator is present)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform != "auto":
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except RuntimeError:
+            pass
+    if args.dtype in ("r64", "cr64"):
+        jax.config.update("jax_enable_x64", True)
+
+    from pangulu_tpu.api import InitOptions, finalize, gstrf, gstrs, init
+    from pangulu_tpu.io.mmio import generated_rhs, read_matrix, read_rhs
+    from pangulu_tpu.sparse import VALUE_DTYPES
+    from pangulu_tpu.utils import enable_compilation_cache
+    from pangulu_tpu.utils.perf import device_memory_stats, host_rss_bytes, \
+        residual_norm
+
+    enable_compilation_cache()
+    dtype = VALUE_DTYPES[args.dtype]
+    a = read_matrix(args.file, dtype=dtype)
+    b = (read_rhs(args.rhs, a.n, dtype) if args.rhs
+         else generated_rhs(a))
+
+    mesh_shape = None
+    if args.mesh:
+        mesh_shape = tuple(int(x) for x in args.mesh.split(","))
+
+    opts = InitOptions(nb=args.nb, dtype=args.dtype, mc64=not args.no_mc64,
+                       ordering=args.ordering, symbolic_mode=args.symbolic,
+                       backend=args.backend, check=args.check,
+                       mesh_shape=mesh_shape)
+    handle = init(a, opts)
+    gstrf(handle)
+    x = gstrs(handle, b)
+    res = residual_norm(a.to_scipy(), x, b)
+    print(handle.perf.summary())
+    print(f"solve residual ||Ax-b||/||b|| = {res:.6e}")
+    rss = host_rss_bytes()
+    if rss:
+        print(f"host RSS: {rss / 2**20:.1f} MiB")
+    for dev, st in device_memory_stats().items():
+        print(f"{dev}: {st['bytes_in_use'] / 2**20:.1f} MiB in use, "
+              f"peak {st['peak_bytes_in_use'] / 2**20:.1f} MiB")
+    finalize(handle)
+    return 0 if res < 1e-4 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

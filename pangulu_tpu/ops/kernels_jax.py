@@ -1,0 +1,165 @@
+"""Reference block kernels in pure JAX (dense nb x nb tiles).
+
+TPU-native counterparts of the reference's four block kernels
+(platforms/.../pangulu_platform_0100000.c:57-397 CPU,
+platforms/.../pangulu_platform_0201000.cu:547-873 CUDA):
+
+  * :func:`getrf`  — unpivoted LU of a diagonal tile (recursive blocked,
+    MXU-resident trailing updates; tiny-pivot substitution like the
+    reference's ``PANGULU_TOL`` path, pangulu_platform_0100000.c:80-84).
+  * :func:`tstrf`  — panel solve ``X @ U = B``  (L-panel).
+  * :func:`gessm`  — panel solve ``L @ X = B``  (U-panel, unit diag L).
+  * :func:`ssssm`  — batched Schur update ``C -= A @ B`` (the dominant
+    kernel, pure MXU batched matmul).
+
+Where the reference gathers sparse blocks into compacted dense panels
+before cBLAS/cuBLAS (0100000.c:245-315, 0201000.cu:826-852), here every
+present block *is* a dense tile — structural zeros are exact IEEE zeros
+and stay zero through the factorization, so results match the
+sparse-block formulation exactly.
+
+These are also the fallback/reference implementations that Pallas
+kernels (:mod:`pangulu_tpu.ops.kernels_pallas`) are tested against.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# The reference substitutes 1e-16 for tiny diagonal pivots
+# (pangulu_common.h:133 PANGULU_TOL); we scale the default by dtype.
+DEFAULT_TOL = {
+    jnp.dtype("float32"): 1e-8,
+    jnp.dtype("float64"): 1e-16,
+    jnp.dtype("complex64"): 1e-8,
+    jnp.dtype("complex128"): 1e-16,
+}
+
+_BASE = 32  # unblocked base-case size for the recursive LU
+
+
+def _safe_pivot(d, tol):
+    return jnp.where(jnp.abs(d) < tol, jnp.asarray(tol, d.dtype), d)
+
+
+def _getrf_unblocked(a, tol):
+    """Doolittle LU on a small m x m tile via rank-1 updates."""
+    m = a.shape[-1]
+    idx = jnp.arange(m)
+
+    def body(k, a):
+        piv = _safe_pivot(a[k, k], tol)
+        lcol = jnp.where(idx > k, a[:, k] / piv, jnp.zeros((), a.dtype))
+        urow = jnp.where(idx > k, a[k, :], jnp.zeros((), a.dtype))
+        a = a - jnp.outer(lcol, urow)
+        a = a.at[:, k].set(jnp.where(idx > k, lcol, a[:, k]))
+        a = a.at[k, k].set(piv)
+        return a
+
+    return lax.fori_loop(0, m, body, a, unroll=4)
+
+
+def _split(m):
+    """Split m into two MXU-friendly halves."""
+    h = ((m + 1) // 2 + _BASE - 1) // _BASE * _BASE
+    return min(h, m - _BASE) if m - h < _BASE and m > _BASE else h
+
+
+def getrf(a, tol=None):
+    """Unpivoted LU of a dense tile: returns L\\U packed in-place
+    (unit-diagonal L strictly below, U on and above the diagonal)."""
+    if tol is None:
+        tol = DEFAULT_TOL[a.dtype]
+    m = a.shape[-1]
+    if m <= _BASE:
+        return _getrf_unblocked(a, tol)
+    m1 = _split(m)
+    a11, a12 = a[:m1, :m1], a[:m1, m1:]
+    a21, a22 = a[m1:, :m1], a[m1:, m1:]
+    f11 = getrf(a11, tol)
+    u12 = lax.linalg.triangular_solve(
+        f11, a12, left_side=True, lower=True, unit_diagonal=True)
+    l21 = lax.linalg.triangular_solve(
+        f11, a21, left_side=False, lower=False, unit_diagonal=False)
+    s22 = a22 - l21 @ u12
+    f22 = getrf(s22, tol)
+    top = jnp.concatenate([f11, u12], axis=1)
+    bot = jnp.concatenate([l21, f22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def tstrf(diag, b):
+    """L-panel solve: X @ U = B where U = triu(diag) (incl diagonal).
+    Reference: pangulu_platform_0100000.c:137-175.  Batched over
+    leading dims of ``b``."""
+    return lax.linalg.triangular_solve(
+        diag, b, left_side=False, lower=False, unit_diagonal=False)
+
+
+def gessm(diag, b):
+    """U-panel solve: L @ X = B where L = unit_tril(diag).
+    Reference: pangulu_platform_0100000.c:178-209."""
+    return lax.linalg.triangular_solve(
+        diag, b, left_side=True, lower=True, unit_diagonal=True)
+
+
+def ssssm(c, a, b):
+    """Schur update C -= A @ B on batched dense tiles.
+    Reference: pangulu_platform_0100000.c:211-397 /
+    0201000.cu:717-873."""
+    prod = jnp.matmul(a, b, preferred_element_type=c.dtype)
+    return c - prod
+
+
+def trsv_lower_unit(diag, x):
+    """Forward substitution on one tile (unit lower).  Reference
+    in-block sptrsv: pangulu_platform_0100000.c:466-486."""
+    return lax.linalg.triangular_solve(
+        diag, x[:, None] if x.ndim == 1 else x,
+        left_side=True, lower=True, unit_diagonal=True
+    ).reshape(x.shape)
+
+
+def trsv_upper(diag, x, tol=None):
+    """Backward substitution on one tile (upper, diag divide with
+    tiny-pivot substitution — pangulu_platform_0100000.c:488-506)."""
+    if tol is None:
+        tol = DEFAULT_TOL[diag.dtype]
+    n = diag.shape[-1]
+    eye = jnp.eye(n, dtype=diag.dtype)
+    d = jnp.diagonal(diag)
+    safe = _safe_pivot(d, tol)
+    diag = diag + (safe - d) * eye
+    return lax.linalg.triangular_solve(
+        diag, x[:, None] if x.ndim == 1 else x,
+        left_side=True, lower=False, unit_diagonal=False
+    ).reshape(x.shape)
+
+
+def diag_inverses(diag):
+    """(L^-1, U^-1) of a factored diagonal tile (L\\U packed).
+
+    TPU-native panel-solve strategy: invert the two triangles once per
+    level, then every TSTRF/GESSM panel solve is a batched MXU matmul
+    instead of a serialized substitution.  The inversion itself is one
+    fixed-shape triangular solve against I, so it compiles once.
+    """
+    nb = diag.shape[-1]
+    eye = jnp.eye(nb, dtype=diag.dtype)
+    linv = lax.linalg.triangular_solve(
+        diag, eye, left_side=True, lower=True, unit_diagonal=True)
+    uinv = lax.linalg.triangular_solve(
+        diag, eye, left_side=True, lower=False, unit_diagonal=False)
+    return linv, uinv
+
+
+def spmv_sub(y, a, x):
+    """y -= A @ x (reference spmv, pangulu_platform_0100000.c:435-453)."""
+    return y - a @ x
+
+
+getrf_batched = jax.vmap(getrf, in_axes=(0,))

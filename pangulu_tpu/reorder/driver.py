@@ -1,0 +1,79 @@
+"""Reordering driver: scaling + column matching + fill-reducing perm.
+
+Counterpart of ``pangulu_reordering`` (pangulu_reordering.c:1130) and
+the rhs/solution permutation helpers
+(``pangulu_reorder_vector_b_tran``/``x_tran``,
+pangulu_reordering.c:683-714).
+
+Transform chain (matching the reference's pipeline):
+
+    A1 = Dr @ A @ Dc                (MC64 scaling)
+    A2[:, j] = A1[:, colperm[j]]    (MC64 column permutation)
+    A3 = A2[p][:, p]                (fill-reducing symmetric perm)
+
+Solving ``A x = b`` then becomes ``A3 w = (Dr*b)[p]`` with
+``x = Dc * unpermute(w)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+from pangulu_tpu.reorder.fill_reducing import fill_reducing_order
+from pangulu_tpu.reorder.matching import mc64_scale_and_match
+from pangulu_tpu.sparse import CscMatrix
+
+_REAL = (np.float32, np.float64)
+
+
+@dataclasses.dataclass
+class Reordering:
+    row_scale: np.ndarray   # Dr
+    col_scale: np.ndarray   # Dc
+    colperm: np.ndarray     # MC64 column permutation
+    perm: np.ndarray        # fill-reducing symmetric permutation p
+    reordered: CscMatrix    # A3
+
+    def transform_b(self, b: np.ndarray) -> np.ndarray:
+        """b -> rhs of the reordered system (reference:
+        pangulu_reorder_vector_b_tran)."""
+        b = np.asarray(b)
+        scale = self.row_scale.astype(b.real.dtype)
+        if b.ndim == 1:
+            return (scale * b)[self.perm]
+        return (scale[:, None] * b)[self.perm]
+
+    def transform_x(self, w: np.ndarray) -> np.ndarray:
+        """solution of reordered system -> solution of original system
+        (reference: pangulu_reorder_vector_x_tran)."""
+        w = np.asarray(w)
+        z = np.empty_like(w)
+        z[self.perm] = w
+        x1 = np.empty_like(w)
+        x1[self.colperm] = z
+        scale = self.col_scale.astype(w.real.dtype)
+        if w.ndim == 1:
+            return scale * x1
+        return scale[:, None] * x1
+
+
+def reorder(a: CscMatrix, *, mc64: bool = True,
+            ordering: str = "auto") -> Reordering:
+    n = a.n
+    s = a.to_scipy()
+    dr, dc, colperm = mc64_scale_and_match(a, enable=mc64)
+    a1 = sp.diags(dr.astype(s.dtype)) @ s @ sp.diags(dc.astype(s.dtype))
+    a2 = sp.csc_matrix(a1)[:, colperm]
+    perm = fill_reducing_order(CscMatrix.from_scipy(a2), method=ordering)
+    a3 = sp.csc_matrix(a2)[perm][:, perm]
+    a3.sort_indices()
+    return Reordering(
+        row_scale=dr,
+        col_scale=dc,
+        colperm=np.asarray(colperm, dtype=np.int64),
+        perm=np.asarray(perm, dtype=np.int64),
+        reordered=CscMatrix.from_scipy(a3),
+    )

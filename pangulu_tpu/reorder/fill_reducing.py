@@ -1,0 +1,100 @@
+"""Fill-reducing symmetric ordering.
+
+Counterpart of the reference's METIS nested-dissection path
+(pangulu_reordering.c:683-1272: build A+A^T graph, METIS_NodeND,
+identity fallback).  METIS is not available in this environment, so we
+provide:
+
+  * ``"mindeg"`` — a quotient-graph minimum-degree ordering (pure
+    Python; the classic fill-reduction heuristic behind AMD),
+  * ``"rcm"``    — reverse Cuthill–McKee via scipy (C speed, good for
+    banded problems),
+  * ``"natural"``— identity (the reference's no-METIS fallback,
+    pangulu_reordering.c:1237-1240),
+  * ``"auto"``   — mindeg for small/medium n, rcm beyond.
+
+All operate on the structural symmetrization A+A^T without self loops,
+exactly like pangulu_get_graph_struct_csc (pangulu_reordering.c:957).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+from pangulu_tpu.sparse import CscMatrix, symmetrize_pattern
+
+_MINDEG_MAX_N = 15000
+
+
+def fill_reducing_order(a: CscMatrix, method: str = "auto") -> np.ndarray:
+    """Return permutation ``p`` so that ``A[p][:, p]`` has low fill."""
+    if method == "natural":
+        return np.arange(a.n, dtype=np.int64)
+    if method == "auto":
+        method = "mindeg" if a.n <= _MINDEG_MAX_N else "rcm"
+    sym = symmetrize_pattern(a)
+    if method == "rcm":
+        return np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True),
+                          dtype=np.int64)
+    if method == "mindeg":
+        return _minimum_degree(sym)
+    raise ValueError(f"unknown ordering method {method!r}")
+
+
+def _minimum_degree(sym: sp.csc_matrix) -> np.ndarray:
+    """Minimum-degree ordering on a symmetric pattern.
+
+    Quotient-graph formulation: eliminated vertices become "elements";
+    a live vertex's adjacency is (its uneliminated original neighbours)
+    union (members of adjacent elements).  Lazy heap with stale-entry
+    skipping; element absorption keeps reach computations shallow.
+    """
+    n = sym.shape[0]
+    indptr, indices = sym.indptr, sym.indices
+    # Adjacency sets without self loops.
+    adj = [set(indices[indptr[i]:indptr[i + 1]]) - {i} for i in range(n)]
+    elem_members: dict[int, set] = {}   # element id -> absorbed vertices
+    vert_elems = [set() for _ in range(n)]  # vertex -> adjacent element ids
+    alive = np.ones(n, dtype=bool)
+    degree = np.array([len(s) for s in adj], dtype=np.int64)
+    heap = [(int(degree[i]), i) for i in range(n)]
+    heapq.heapify(heap)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if not alive[v] or d != degree[v]:
+            continue
+        # Reach(v) = adj(v) ∪ members of v's adjacent elements, alive only.
+        reach = set(u for u in adj[v] if alive[u])
+        for e in vert_elems[v]:
+            reach |= elem_members[e]
+        reach.discard(v)
+        reach = {u for u in reach if alive[u]}
+        order[pos] = v
+        pos += 1
+        alive[v] = False
+        # v becomes a new element absorbing its adjacent elements.
+        eid = v
+        elem_members[eid] = reach
+        absorbed = vert_elems[v]
+        for u in reach:
+            adj[u].discard(v)
+            vert_elems[u] -= absorbed
+            vert_elems[u].add(eid)
+            # Approximate degree: |adj alive| + |union of element members|
+            # approximated by sum (AMD-style overcount, cheap).
+            deg = sum(1 for w in adj[u] if alive[w])
+            seen = 0
+            for e in vert_elems[u]:
+                seen += len(elem_members[e])
+            degree[u] = deg + max(seen - 1, 0)
+            heapq.heappush(heap, (int(degree[u]), u))
+        for e in absorbed:
+            if e in elem_members and e != eid:
+                del elem_members[e]
+    return order

@@ -1,0 +1,156 @@
+"""Elimination-level schedule: the TPU-native task DAG.
+
+The reference executes the factorization as a synchronisation-free task
+DAG driven by precomputed dependency counters, a mutex-protected binary
+heap and per-tile SSSSM aggregation (pangulu_preprocessing.c:132-207,
+pangulu_task.c, pangulu_numeric.c:655-930).  XLA's static-shape world
+wants none of that machinery: the heap's level-first priority (compare
+strategy 0, pangulu_task.c:268-281) already makes execution
+approximately level-ordered, so we *precompute the level schedule
+outright* on the host:
+
+  level k:  GETRF(k,k)
+            TSTRF batch  { (i,k) : i>k in pattern }   (L-panel)
+            GESSM batch  { (k,j) : j>k in pattern }   (U-panel)
+            SSSSM batch  { (i,j) <- (i,k)x(k,j) : (i,j) in pattern }
+
+Dependency counters become implicit: everything level k reads was
+produced by levels < k, and within a level each SSSSM destination is
+unique, so the whole level lowers to three batched kernels with no
+synchronization beyond data flow.  The reference's task *aggregator*
+(pangulu_task.c:13-177) maps to exactly this batching.
+
+Index arrays are bucket-padded at dispatch time (pad slot = the scratch
+tile) so the jit cache stays O(log max_batch) — the static-shape
+replacement for the reference's dynamic task_storage pool.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pangulu_tpu.blocks import BlockedMatrix
+
+
+@dataclasses.dataclass
+class Level:
+    k: int
+    diag: int                 # tile id of (k,k)
+    lpanel: np.ndarray        # tile ids of (i,k), i>k  (col-k lower panel)
+    lrows: np.ndarray         # their block rows i
+    upanel: np.ndarray        # tile ids of (k,j), j>k  (row-k upper panel)
+    ucols: np.ndarray         # their block cols j
+    upd_dst: np.ndarray       # SSSSM destinations (tile ids)
+    upd_l: np.ndarray         # index into lpanel for each update
+    upd_u: np.ndarray         # index into upanel for each update
+    # SpTRSV (backward pass) needs column-k blocks ABOVE the diagonal:
+    ucolpanel: np.ndarray     # tile ids of (i,k), i<k
+    ucolrows: np.ndarray      # their block rows i
+
+
+@dataclasses.dataclass
+class Schedule:
+    block_length: int
+    nb: int
+    levels: list
+    n_tstrf: int
+    n_gessm: int
+    n_ssssm: int
+
+    @property
+    def max_lpanel(self):
+        return max((len(l.lpanel) for l in self.levels), default=0)
+
+    @property
+    def max_upanel(self):
+        return max((len(l.upanel) for l in self.levels), default=0)
+
+    @property
+    def max_updates(self):
+        return max((len(l.upd_dst) for l in self.levels), default=0)
+
+    def flop_estimate(self) -> float:
+        """Dense-tile flop model (counterpart of the reference's exact
+        sparse flop counters, pangulu_kernel_interface.c:4-178 — ours
+        counts the dense MXU flops actually executed)."""
+        nb = float(self.nb)
+        getrf = 2.0 / 3.0 * nb ** 3 * self.block_length
+        trsm = nb ** 3 * (self.n_tstrf + self.n_gessm)
+        gemm = 2.0 * nb ** 3 * self.n_ssssm
+        return getrf + trsm + gemm
+
+
+def build_schedule(blocked: BlockedMatrix) -> Schedule:
+    bl = blocked.block_length
+    bcolptr, browidx = blocked.bcolptr, blocked.browidx
+    brptr, bcolidx = blocked.brownnzptr, blocked.bcolidx
+    tile_of_csr = blocked.tile_of_csr
+
+    levels = []
+    n_tstrf = n_gessm = n_ssssm = 0
+    for k in range(bl):
+        lo, hi = bcolptr[k], bcolptr[k + 1]
+        col_rows = browidx[lo:hi]
+        col_ids = np.arange(lo, hi)
+        below = col_rows > k
+        above = col_rows < k
+        at = col_rows == k
+        if not at.any():
+            raise AssertionError(f"missing diagonal block at level {k}")
+        diag = int(col_ids[at][0])
+        lpanel = col_ids[below].astype(np.int64)
+        lrows = col_rows[below].astype(np.int64)
+        ucolpanel = col_ids[above].astype(np.int64)
+        ucolrows = col_rows[above].astype(np.int64)
+
+        rlo, rhi = brptr[k], brptr[k + 1]
+        row_cols = bcolidx[rlo:rhi]
+        right = row_cols > k
+        upanel = tile_of_csr[rlo:rhi][right].astype(np.int64)
+        ucols = row_cols[right].astype(np.int64)
+
+        # Updates: (i,j) for i in lrows x j in ucols present in pattern.
+        if len(lrows) and len(ucols):
+            ii = np.repeat(np.arange(len(lrows)), len(ucols))
+            jj = np.tile(np.arange(len(ucols)), len(lrows))
+            dst = blocked.tile_ids(lrows[ii], ucols[jj])
+            present = dst >= 0
+            upd_dst = dst[present].astype(np.int64)
+            upd_l = ii[present].astype(np.int64)
+            upd_u = jj[present].astype(np.int64)
+        else:
+            upd_dst = np.empty(0, dtype=np.int64)
+            upd_l = np.empty(0, dtype=np.int64)
+            upd_u = np.empty(0, dtype=np.int64)
+
+        n_tstrf += len(lpanel)
+        n_gessm += len(upanel)
+        n_ssssm += len(upd_dst)
+        levels.append(Level(
+            k=k, diag=diag, lpanel=lpanel, lrows=lrows,
+            upanel=upanel, ucols=ucols,
+            upd_dst=upd_dst, upd_l=upd_l, upd_u=upd_u,
+            ucolpanel=ucolpanel, ucolrows=ucolrows,
+        ))
+
+    return Schedule(
+        block_length=bl, nb=blocked.nb, levels=levels,
+        n_tstrf=n_tstrf, n_gessm=n_gessm, n_ssssm=n_ssssm,
+    )
+
+
+def bucket(n: int) -> int:
+    """Pad a batch size to the next power of two (keeps the jit cache
+    small — the static-shape analogue of the reference's 7 geometric
+    storage-bin capacity classes, pangulu_preprocessing.c:325-332)."""
+    if n <= 0:
+        return 0
+    return 1 << (n - 1).bit_length()
+
+
+def pad_ids(ids: np.ndarray, size: int, pad_value: int) -> np.ndarray:
+    out = np.full(size, pad_value, dtype=np.int32)
+    out[: len(ids)] = ids
+    return out

@@ -1,0 +1,118 @@
+"""Blocked sparse triangular solves (SpTRSV) — the gstrs path.
+
+Counterpart of ``pangulu_sptrsv.c``: level-by-level blocked forward
+substitution on L (unit diagonal) then backward substitution on U, both
+reading the factored tiles in place.  The reference's per-level
+spmv-partial + MPI reduce + bcast (pangulu_sptrsv.c:24-174) becomes, on
+a single chip, a batched tile x segment matmul with scatter-add — the
+right-looking formulation: once segment k is solved, all dependent
+segments are updated in one batched launch.
+
+Multi-RHS is first-class: x is carried as ``[bl+1, nb, nrhs]`` (the +1
+row is the scratch segment absorbing padded lanes), so factor-once /
+solve-many amortizes like the reference's repeated gstrs calls
+(README.md:125).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangulu_tpu.blocks import BlockedMatrix
+from pangulu_tpu.ops.interface import KernelBackend, get_backend
+from pangulu_tpu.schedule import Schedule, bucket, pad_ids
+from pangulu_tpu.utils.perf import PerfCounters
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=(2,))
+def _seg_solve(backend: KernelBackend, tiles, x, args, lower: bool):
+    """Fixed-shape per-level triangular solve of one x-segment
+    (compiles once per direction/dtype/nrhs)."""
+    diag_idx, k = args
+    d = tiles[diag_idx[0]]
+    xk = (backend.trsv_lower_unit(d, x[k[0]]) if lower
+          else backend.trsv_upper(d, x[k[0]]))
+    return x.at[k[0]].set(xk)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def _seg_update(backend: KernelBackend, tiles, x, k, panel_ids, panel_rows):
+    """x[rows] -= T(i,k) @ x[k] for the level's panel blocks (batched
+    matmul, bucket-padded — cheap to compile)."""
+    xk = x[k[0]]
+    upd = jnp.matmul(tiles[panel_ids], xk, preferred_element_type=x.dtype)
+    return x.at[panel_rows].add(-upd)
+
+
+class TriangularSolver:
+    """gstrs executor over factored tiles."""
+
+    def __init__(self, blocked: BlockedMatrix, schedule: Schedule,
+                 backend: KernelBackend | None = None,
+                 perf: PerfCounters | None = None):
+        self.blocked = blocked
+        self.schedule = schedule
+        self.backend = backend or get_backend(
+            "auto", nb=blocked.nb, dtype=blocked.tiles.dtype)
+        self.perf = perf or PerfCounters()
+        self._lower_args, self._upper_args = self._prepare()
+
+    def _prepare(self):
+        scratch_seg = self.schedule.block_length  # scratch x-segment
+        lower, upper = [], []
+        for lev in self.schedule.levels:
+            nl = bucket(len(lev.lpanel))
+            lower.append((
+                np.array([lev.diag], dtype=np.int32),
+                np.array([lev.k], dtype=np.int32),
+                pad_ids(lev.lpanel, nl, self.blocked.num_tiles),
+                pad_ids(lev.lrows, nl, scratch_seg),
+            ))
+            nu = bucket(len(lev.ucolpanel))
+            upper.append((
+                np.array([lev.diag], dtype=np.int32),
+                np.array([lev.k], dtype=np.int32),
+                pad_ids(lev.ucolpanel, nu, self.blocked.num_tiles),
+                pad_ids(lev.ucolrows, nu, scratch_seg),
+            ))
+        return lower, upper
+
+    def blockify_rhs(self, b: np.ndarray) -> jnp.ndarray:
+        """[n] or [n, nrhs] -> [bl+1, nb, nrhs] padded segments."""
+        bl, nb = self.schedule.block_length, self.schedule.nb
+        b = np.asarray(b)
+        if b.ndim == 1:
+            b = b[:, None]
+        nrhs = b.shape[1]
+        xb = np.zeros((bl + 1, nb, nrhs), dtype=self.blocked.tiles.dtype)
+        flat = xb[:bl].reshape(bl * nb, nrhs)
+        flat[: b.shape[0]] = b
+        return jnp.asarray(xb)
+
+    def unblockify(self, xb) -> np.ndarray:
+        bl, nb = self.schedule.block_length, self.schedule.nb
+        n = self.blocked.n
+        out = np.asarray(xb)[:bl].reshape(bl * nb, -1)[:n]
+        return out
+
+    def solve(self, tiles, b: np.ndarray) -> np.ndarray:
+        """Solve LU x = b on the factored tiles.  Returns x with the
+        same leading shape as b (pangulu_solve, pangulu_sptrsv.c:176)."""
+        squeeze = np.asarray(b).ndim == 1
+        x = self.blockify_rhs(b)
+        with self.perf.phase("sptrsv"):
+            for (diag_idx, k, ids, rows) in self._lower_args:
+                x = _seg_solve(self.backend, tiles, x, (diag_idx, k), True)
+                if len(ids):
+                    x = _seg_update(self.backend, tiles, x, k, ids, rows)
+            for (diag_idx, k, ids, rows) in reversed(self._upper_args):
+                x = _seg_solve(self.backend, tiles, x, (diag_idx, k), False)
+                if len(ids):
+                    x = _seg_update(self.backend, tiles, x, k, ids, rows)
+            x = jax.block_until_ready(x)
+        out = self.unblockify(x)
+        return out[:, 0] if squeeze else out

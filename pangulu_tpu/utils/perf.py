@@ -1,0 +1,110 @@
+"""Performance counters, timers and flop accounting.
+
+Counterpart of the reference's ``-DPANGULU_PERF`` observability:
+``pangulu_stat_t global_stat`` (pangulu_common.h:139-163), per-kernel
+flop models (pangulu_kernel_interface.c:4-178), phase wall-times
+(pangulu.c:160,184,196,246,315) and the GFLOPS summary line
+(pangulu_strings.h:84).  Always-on here (negligible overhead — the
+counters are host-side).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import numpy as np
+
+
+class PerfCounters:
+    def __init__(self):
+        self.phase_time: dict[str, float] = {}
+        self.flops: float = 0.0
+        self.kernels: dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.phase_time[name] = self.phase_time.get(name, 0.0) + dt
+
+    def add_flops(self, f: float):
+        self.flops += f
+
+    def kernel_counts(self, **counts: int):
+        for k, v in counts.items():
+            self.kernels[k] = self.kernels.get(k, 0) + int(v)
+
+    def gflops(self, phase: str = "numeric") -> float:
+        t = self.phase_time.get(phase, 0.0)
+        return self.flops / t / 1e9 if t > 0 else 0.0
+
+    def summary(self) -> str:
+        lines = ["[pangulu_tpu perf]"]
+        for name, t in self.phase_time.items():
+            lines.append(f"  {name:>12s} : {t:9.4f} s")
+        if self.flops:
+            lines.append(f"  {'flops':>12s} : {self.flops:.3e}"
+                         f"  ({self.gflops():.2f} GFLOPS numeric)")
+        if self.kernels:
+            ks = ", ".join(f"{k}={v}" for k, v in self.kernels.items())
+            lines.append(f"  {'kernels':>12s} : {ks}")
+        return "\n".join(lines)
+
+
+def device_memory_stats() -> dict:
+    """Device HBM usage (counterpart of the reference's RSS/GPU memory
+    report, pangulu_utils.c:428-451)."""
+    import jax
+
+    out = {}
+    try:
+        for d in jax.local_devices():
+            stats = d.memory_stats()
+            if stats:
+                out[str(d)] = {
+                    "bytes_in_use": stats.get("bytes_in_use", 0),
+                    "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
+                }
+    except Exception:
+        pass
+    return out
+
+
+def host_rss_bytes() -> int:
+    try:
+        import resource
+
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return int(ru.ru_maxrss) * 1024
+    except Exception:
+        return 0
+
+
+def residual_norm(a_scipy, x: np.ndarray, b: np.ndarray) -> float:
+    """Relative residual ||Ax - b||_2 / ||b||_2 with compensated
+    summation semantics (reference: examples/example.c:304-364 uses
+    Kahan summation; float64 accumulation here is at least as
+    accurate)."""
+    x = np.asarray(x)
+    b = np.asarray(b)
+    acc_dtype = np.complex128 if np.iscomplexobj(b) or np.iscomplexobj(x) \
+        else np.float64
+    r = a_scipy.astype(acc_dtype) @ x.astype(acc_dtype) - b.astype(acc_dtype)
+    denom = np.linalg.norm(b.astype(acc_dtype))
+    return float(np.linalg.norm(r) / (denom if denom else 1.0))
+
+
+def factorization_residual(a_scipy, lmat, umat) -> float:
+    """||L(U 1) - A 1||_2 / ||A 1||_2 — the reference's gstrf-only
+    check (pangulu_numeric_check, pangulu_numeric.c:1082-1341)."""
+    n = a_scipy.shape[0]
+    ones = np.ones(n, dtype=np.complex128 if np.iscomplexobj(a_scipy.data)
+                   else np.float64)
+    a1 = a_scipy @ ones
+    lu1 = lmat @ (umat @ ones)
+    denom = np.linalg.norm(a1)
+    return float(np.linalg.norm(lu1 - a1) / (denom if denom else 1.0))

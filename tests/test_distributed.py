@@ -1,0 +1,75 @@
+"""Multi-chip tests on the virtual CPU mesh (8 devices, conftest.py):
+the distributed 2D block-cyclic factorization must match single-chip
+results exactly (same arithmetic, different placement)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pangulu_tpu.blocks import tile_matrix
+from pangulu_tpu.io.mmio import generated_rhs
+from pangulu_tpu.models import poisson2d, trefethen
+from pangulu_tpu.numeric import LUFactorizer
+from pangulu_tpu.parallel.dist_numeric import DistributedLU
+from pangulu_tpu.parallel.mesh import grid_shape, make_mesh
+from pangulu_tpu.reorder import reorder
+from pangulu_tpu.schedule import build_schedule
+from pangulu_tpu.sptrsv import TriangularSolver
+from pangulu_tpu.symbolic import symbolic
+from pangulu_tpu.utils.perf import residual_norm
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+
+
+def _problem(nb=16, nx=6):
+    a = poisson2d(nx)
+    ro = reorder(a, ordering="rcm")
+    symb = symbolic(ro.reordered, nb)
+    blocked = tile_matrix(ro.reordered, symb)
+    return a, ro, blocked, build_schedule(blocked)
+
+
+def test_grid_shape_rule():
+    # reference rule: p = largest divisor <= sqrt(n), q = n/p
+    assert grid_shape(4) == (2, 2)
+    assert grid_shape(8) == (2, 4)
+    assert grid_shape(6) == (2, 3)
+    assert grid_shape(7) == (1, 7)
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_distributed_matches_single_chip(ndev):
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    a, ro, blocked, schedule = _problem()
+    single = np.asarray(LUFactorizer(blocked, schedule).factorize())
+
+    mesh = make_mesh(ndev)
+    dist = DistributedLU(blocked, schedule, mesh.devices.shape, mesh=mesh)
+    multi = dist.factorize()
+    np.testing.assert_allclose(multi[: blocked.num_tiles],
+                               single[: blocked.num_tiles],
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_distributed_end_to_end_residual():
+    a, ro, blocked, schedule = _problem(nb=8, nx=5)
+    mesh = make_mesh(4)
+    dist = DistributedLU(blocked, schedule, mesh.devices.shape, mesh=mesh)
+    tiles = dist.factorize()
+    ts = TriangularSolver(blocked, schedule)
+    b = generated_rhs(a)
+    w = ts.solve(tiles, ro.transform_b(b))
+    x = ro.transform_x(w)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10
+
+
+def test_api_mesh_shape():
+    from pangulu_tpu.api import InitOptions, Solver
+
+    a = trefethen(20)
+    b = generated_rhs(a)
+    s = Solver(a, InitOptions(nb=8, dtype="r64", mesh_shape=(2, 2)))
+    x = s.solve(b)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10

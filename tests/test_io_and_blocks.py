@@ -1,0 +1,86 @@
+"""IO, model generators, tiling and schedule invariants."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from pangulu_tpu.blocks import gather_factor, tile_matrix
+from pangulu_tpu.io.mmio import generated_rhs, read_matrix, write_matrix
+from pangulu_tpu.models import poisson2d, trefethen
+from pangulu_tpu.reorder import reorder
+from pangulu_tpu.schedule import bucket, build_schedule
+from pangulu_tpu.sparse import CscMatrix, add_diagonal_elements
+from pangulu_tpu.symbolic import symbolic
+
+
+def test_trefethen_matches_reference_fixture():
+    """The reference fixture is 19x19 with 147 nnz (Trefethen_20b)."""
+    a = trefethen(20)
+    assert a.n == 19
+    assert a.nnz == 147
+    s = a.to_scipy()
+    assert (abs(s - s.T) > 0).nnz == 0  # symmetric
+    assert s.diagonal()[0] == 3.0       # primes 3,5,7,... after drop
+
+
+def test_mmio_roundtrip(tmp_path):
+    a = trefethen(20)
+    path = tmp_path / "t.mtx"
+    write_matrix(path, a)
+    b = read_matrix(path)
+    assert (a.to_scipy() != b.to_scipy()).nnz == 0
+
+
+def test_add_diagonal_elements():
+    a = sp.csc_matrix(np.array([[1.0, 2.0], [3.0, 0.0]]))
+    out = add_diagonal_elements(CscMatrix.from_scipy(a))
+    assert out.to_scipy()[1, 1] == 1e-8
+    # explicit stored zero is kept (only structural gaps are filled)
+    a2 = sp.csc_matrix(np.array([[1.0, 2.0], [3.0, 4.0]]))
+    out2 = add_diagonal_elements(CscMatrix.from_scipy(a2))
+    assert out2.nnz == 4
+
+
+def test_tile_roundtrip():
+    a = poisson2d(6)
+    ro = reorder(a, ordering="natural", mc64=False)
+    symb = symbolic(ro.reordered, 8)
+    blocked = tile_matrix(ro.reordered, symb)
+    # Reassembling the unfactored tiles must reproduce A (L strict
+    # lower + U upper incl diag = A when tiles hold raw values).
+    lmat, umat = gather_factor(blocked, blocked.tiles)
+    recon = (lmat - sp.identity(a.n)) + umat
+    diff = abs(recon - ro.reordered.to_scipy())
+    assert diff.max() < 1e-14
+
+
+def test_schedule_invariants():
+    a = poisson2d(6)
+    ro = reorder(a)
+    symb = symbolic(ro.reordered, 8)
+    blocked = tile_matrix(ro.reordered, symb)
+    sched = build_schedule(blocked)
+    assert len(sched.levels) == blocked.block_length
+    for lev in sched.levels:
+        # L-panel rows strictly below, U-panel cols strictly right
+        assert (lev.lrows > lev.k).all()
+        assert (lev.ucols > lev.k).all()
+        # update destinations unique within a level (scatter-add safety)
+        assert len(np.unique(lev.upd_dst)) == len(lev.upd_dst)
+        # every update references a valid panel position
+        if len(lev.upd_dst):
+            assert lev.upd_l.max() < len(lev.lpanel)
+            assert lev.upd_u.max() < len(lev.upanel)
+    assert sched.flop_estimate() > 0
+
+
+def test_bucket_padding():
+    assert bucket(0) == 0
+    assert bucket(1) == 1
+    assert bucket(5) == 8
+    assert bucket(8) == 8
+
+
+def test_generated_rhs_is_row_sums():
+    a = trefethen(20)
+    b = generated_rhs(a)
+    np.testing.assert_allclose(b, np.asarray(a.to_scipy().sum(axis=1)).ravel())
