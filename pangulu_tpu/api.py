@@ -52,6 +52,8 @@ class InitOptions:
     check: bool = False          # -DPANGULU_PERF residual check
     nthread: int = 0             # accepted for parity; XLA manages threads
     mesh_shape: Optional[tuple] = None  # (p, q) for multi-chip; None=1 chip
+    refine: int = -1             # iterative-refinement rounds in gstrs;
+                                 # -1 = auto (2 for 32-bit types, 0 else)
 
     def resolve_dtype(self):
         if self.dtype not in VALUE_DTYPES:
@@ -143,22 +145,60 @@ def gstrf(handle: Handle) -> None:
         handle.perf.kernels["gstrf_residual"] = res
 
 
-def gstrs(handle: Handle, b: np.ndarray) -> np.ndarray:
+def _solve_once(handle: Handle, b: np.ndarray) -> np.ndarray:
+    bt = handle.reordering.transform_b(b)
+    w = handle._trisolver.solve(handle.factor_tiles, bt)
+    return handle.reordering.transform_x(w)
+
+
+def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
+          ) -> np.ndarray:
     """Triangular solves for one or many rhs (reference: pangulu_gstrs,
-    pangulu.c:271): reorder b, solve, un-reorder x."""
+    pangulu.c:271): reorder b, solve, un-reorder x.
+
+    ``refine``: rounds of mixed-precision iterative refinement — the
+    TPU-idiomatic accuracy strategy: factor once in working precision
+    (f32 on the MXU), then correct with float64 host residuals
+    ``r = b - A x`` and extra triangular solves.  Default: the value
+    from InitOptions (0 for r64/cr64, 2 for r32/cr32).
+    """
     if handle.factor_tiles is None:
         raise RuntimeError("gstrs called before gstrf (reference aborts "
                            "the same way)")
-    b = np.asarray(b, dtype=handle.blocked.tiles.dtype)
-    bt = handle.reordering.transform_b(b)
+    work_dtype = handle.blocked.tiles.dtype
+    b_in = np.asarray(b)
+    b = b_in.astype(work_dtype)
     if handle._trisolver is None:
         backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
-                              dtype=handle.blocked.tiles.dtype)
+                              dtype=work_dtype)
         handle._trisolver = TriangularSolver(
             handle.blocked, handle.schedule, backend=backend,
             perf=handle.perf)
-    w = handle._trisolver.solve(handle.factor_tiles, bt)
-    return handle.reordering.transform_x(w).astype(b.dtype)
+    if refine is None:
+        refine = handle.opts.refine
+    if refine is None or refine < 0:  # auto
+        refine = 2 if work_dtype.itemsize <= 8 and np.dtype(
+            work_dtype).char in "fF" else 0
+    x = _solve_once(handle, b)
+    if refine:
+        acc = (np.complex128 if np.iscomplexobj(b)
+               else np.float64)
+        a64 = handle.a_origin.astype(acc)
+        x64 = x.astype(acc)
+        b64 = b_in.astype(acc)
+        prev = None
+        for _ in range(refine):
+            r = b64 - a64 @ x64
+            rn = float(np.linalg.norm(np.atleast_2d(r)))
+            if prev is not None and rn >= prev * 0.5:
+                break  # stagnated — LU quality limits further gains
+            prev = rn
+            dx = _solve_once(handle, r.astype(work_dtype))
+            x64 = x64 + dx.astype(acc)
+        return x64.astype(b_in.dtype) if np.issubdtype(
+            b_in.dtype, np.floating) or np.issubdtype(
+            b_in.dtype, np.complexfloating) else x64
+    return x.astype(b_in.dtype) if b_in.dtype.kind in "fc" else x
 
 
 def gssv(handle: Handle, b: np.ndarray) -> np.ndarray:

@@ -33,6 +33,7 @@ import numpy as np
 from pangulu_tpu.blocks import BlockedMatrix
 from pangulu_tpu.ops.interface import KernelBackend, get_backend
 from pangulu_tpu.schedule import Schedule, bucket, build_schedule, pad_ids
+from pangulu_tpu.utils import device_sync
 from pangulu_tpu.utils.perf import PerfCounters
 
 
@@ -89,14 +90,59 @@ def _panel_schur_step_trsm(backend: KernelBackend, tiles, diag,
     return tiles
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _fused_factorize(backend: KernelBackend, tiles, diag_idx, l_ids, u_ids,
+                     upd_dst, upd_l, upd_u):
+    """Whole factorization in ONE dispatch: lax.fori_loop over levels
+    with fully padded index tables.  This is the TPU fast path — no
+    host round-trip between levels (per-level dispatch costs ~100ms+
+    over a tunneled chip), one compile for the whole solve."""
+    bl = diag_idx.shape[0]
+    dt = tiles.dtype
+    has_l = l_ids.shape[1] > 0
+    has_u = u_ids.shape[1] > 0
+    has_upd = upd_dst.shape[1] > 0
+
+    def body(k, tiles):
+        d_idx = diag_idx[k]
+        diag = backend.getrf(tiles[d_idx], None)
+        tiles = tiles.at[d_idx].set(diag)
+        linv, uinv = backend.diag_inverses(diag)
+        if has_l:
+            lids = l_ids[k]
+            lblk = jnp.matmul(tiles[lids], uinv, preferred_element_type=dt)
+            tiles = tiles.at[lids].set(lblk)
+        if has_u:
+            uids = u_ids[k]
+            ublk = jnp.matmul(linv, tiles[uids], preferred_element_type=dt)
+            tiles = tiles.at[uids].set(ublk)
+        if has_upd and has_l and has_u:
+            prod = jnp.matmul(lblk[upd_l[k]], ublk[upd_u[k]],
+                              preferred_element_type=dt)
+            tiles = tiles.at[upd_dst[k]].add(-prod)
+        return tiles
+
+    return jax.lax.fori_loop(0, bl, body, tiles)
+
+
 class LUFactorizer:
     """Runs gstrf on a blocked matrix.  Mirrors the reference handle's
-    numeric phase (pangulu_gstrf, pangulu.c:211)."""
+    numeric phase (pangulu_gstrf, pangulu.c:211).
+
+    ``dispatch``: "fused" = single-dispatch fori_loop engine (TPU fast
+    path); "levels" = per-level bucketed dispatch (less padded compute,
+    more host round-trips); "auto" picks fused unless padding overhead
+    is extreme.
+    """
+
+    # Above this padded/real work ratio the per-level engine wins.
+    FUSED_OVERHEAD_LIMIT = 6.0
 
     def __init__(self, blocked: BlockedMatrix, schedule: Schedule | None = None,
                  backend: KernelBackend | None = None,
                  perf: PerfCounters | None = None,
-                 panel_solve: str = "inv"):
+                 panel_solve: str = "inv",
+                 dispatch: str = "auto"):
         self.blocked = blocked
         self.schedule = schedule or build_schedule(blocked)
         self.backend = backend or get_backend(
@@ -105,7 +151,18 @@ class LUFactorizer:
         if panel_solve not in ("inv", "trsm"):
             raise ValueError("panel_solve must be 'inv' or 'trsm'")
         self.panel_solve = panel_solve
-        self._prepared = self._prepare_levels()
+        if dispatch == "auto":
+            dispatch = ("fused" if panel_solve == "inv" and
+                        self.schedule.fused_overhead() <=
+                        self.FUSED_OVERHEAD_LIMIT else "levels")
+        self.dispatch = dispatch
+        if dispatch == "fused":
+            self._fused_args = tuple(
+                jnp.asarray(t) for t in
+                self.schedule.fused_tables(self.blocked.num_tiles))
+            self._prepared = None
+        else:
+            self._prepared = self._prepare_levels()
 
     def _prepare_levels(self):
         """Host-side: bucket-pad every level's index arrays once."""
@@ -130,6 +187,19 @@ class LUFactorizer:
         L\\U packed per tile)."""
         if tiles is None:
             tiles = jnp.asarray(self.blocked.tiles)
+        if self.dispatch == "fused":
+            with self.perf.phase("numeric"):
+                tiles = _fused_factorize(self.backend, tiles,
+                                         *self._fused_args)
+                tiles = device_sync(tiles)
+            self.perf.add_flops(self.schedule.flop_estimate())
+            self.perf.kernel_counts(
+                getrf=self.schedule.block_length,
+                tstrf=self.schedule.n_tstrf,
+                gessm=self.schedule.n_gessm,
+                ssssm=self.schedule.n_ssssm,
+            )
+            return tiles
         use_inv = self.panel_solve == "inv"
         with self.perf.phase("numeric"):
             for (diag_idx, l_ids, u_ids, dst, lsel, usel) in self._prepared:
@@ -147,7 +217,7 @@ class LUFactorizer:
                     tiles = _panel_schur_step_trsm(
                         self.backend, tiles, diag,
                         l_ids, u_ids, dst, lsel, usel)
-            tiles = jax.block_until_ready(tiles)
+            tiles = device_sync(tiles)
         self.perf.add_flops(self.schedule.flop_estimate())
         self.perf.kernel_counts(
             getrf=self.schedule.block_length,

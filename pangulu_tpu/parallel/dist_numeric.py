@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pangulu_tpu.blocks import BlockedMatrix
 from pangulu_tpu.ops.interface import KernelBackend, get_backend
 from pangulu_tpu.schedule import Schedule, bucket, build_schedule
+from pangulu_tpu.utils import device_sync
 from pangulu_tpu.utils.perf import PerfCounters
 
 
@@ -121,57 +122,57 @@ class DistributedLU:
     def _prepare_levels(self):
         lay, p, q = self.layout, self.p, self.q
         scratch = lay.lmax - 1
-        levels = []
+        bl = self.schedule.block_length
+        # Global maxima: one shape for every level so the whole level
+        # loop runs on-device in one dispatch (fused engine).
+        nlp = max(self.schedule.max_lpanel, 1)
+        nup = max(self.schedule.max_upanel, 1)
+        # max updates landing on any single device at any level
+        nupd = 1
+        per_dev_updates = []
         for lev in self.schedule.levels:
-            k = lev.k
-            kr, kc = k % p, k % q
-            nlp = bucket(len(lev.lrows))
-            nup = bucket(len(lev.ucols))
-            # Global panel position -> owning device fills its slots.
-            l_slot = np.full((p, q, max(nlp, 1)), scratch, dtype=np.int32)
-            l_mask = np.zeros((p, q, max(nlp, 1)), dtype=bool)
-            for t, (tid, bi) in enumerate(zip(lev.lpanel, lev.lrows)):
-                r = bi % p
-                l_slot[r, kc, t] = lay.tile_slot[tid]
-                l_mask[r, kc, t] = True
-            u_slot = np.full((p, q, max(nup, 1)), scratch, dtype=np.int32)
-            u_mask = np.zeros((p, q, max(nup, 1)), dtype=bool)
-            for t, (tid, bj) in enumerate(zip(lev.upanel, lev.ucols)):
-                c = bj % q
-                u_slot[kr, c, t] = lay.tile_slot[tid]
-                u_mask[kr, c, t] = True
-            # Per-device update lists.
-            upd_lists = [[[] for _ in range(q)] for _ in range(p)]
+            counts = np.zeros((p, q), dtype=np.int64)
+            triples = [[[] for _ in range(q)] for _ in range(p)]
             for dst, li, ui in zip(lev.upd_dst, lev.upd_l, lev.upd_u):
                 r = lay.tile_owner_r[dst]
                 c = lay.tile_owner_c[dst]
-                upd_lists[r][c].append(
-                    (lay.tile_slot[dst], li, ui))
-            nupd = bucket(max((len(upd_lists[r][c])
-                               for r in range(p) for c in range(q)),
-                              default=0))
-            upd_dst = np.full((p, q, max(nupd, 1)), scratch, dtype=np.int32)
-            upd_l = np.zeros((p, q, max(nupd, 1)), dtype=np.int32)
-            upd_u = np.zeros((p, q, max(nupd, 1)), dtype=np.int32)
-            upd_mask = np.zeros((p, q, max(nupd, 1)), dtype=bool)
+                triples[r][c].append((lay.tile_slot[dst], li, ui))
+                counts[r, c] += 1
+            per_dev_updates.append(triples)
+            nupd = max(nupd, int(counts.max()))
+
+        diag_slot = np.full((p, q, bl), scratch, dtype=np.int32)
+        l_slot = np.full((p, q, bl, nlp), scratch, dtype=np.int32)
+        l_mask = np.zeros((p, q, bl, nlp), dtype=bool)
+        u_slot = np.full((p, q, bl, nup), scratch, dtype=np.int32)
+        u_mask = np.zeros((p, q, bl, nup), dtype=bool)
+        upd_dst = np.full((p, q, bl, nupd), scratch, dtype=np.int32)
+        upd_l = np.zeros((p, q, bl, nupd), dtype=np.int32)
+        upd_u = np.zeros((p, q, bl, nupd), dtype=np.int32)
+        upd_mask = np.zeros((p, q, bl, nupd), dtype=bool)
+
+        for lev, triples in zip(self.schedule.levels, per_dev_updates):
+            k = lev.k
+            kr, kc = k % p, k % q
+            diag_slot[kr, kc, k] = lay.tile_slot[lev.diag]
+            for t, (tid, bi) in enumerate(zip(lev.lpanel, lev.lrows)):
+                r = bi % p
+                l_slot[r, kc, k, t] = lay.tile_slot[tid]
+                l_mask[r, kc, k, t] = True
+            for t, (tid, bj) in enumerate(zip(lev.upanel, lev.ucols)):
+                c = bj % q
+                u_slot[kr, c, k, t] = lay.tile_slot[tid]
+                u_mask[kr, c, k, t] = True
             for r in range(p):
                 for c in range(q):
-                    for t, (s, li, ui) in enumerate(upd_lists[r][c]):
-                        upd_dst[r, c, t] = s
-                        upd_l[r, c, t] = li
-                        upd_u[r, c, t] = ui
-                        upd_mask[r, c, t] = True
-            diag_slot = np.full((p, q, 1), scratch, dtype=np.int32)
-            diag_slot[kr, kc, 0] = lay.tile_slot[lev.diag]
-            levels.append(dict(
-                k=np.int32(k),
-                diag_slot=diag_slot,
-                l_slot=l_slot, l_mask=l_mask,
-                u_slot=u_slot, u_mask=u_mask,
-                upd_dst=upd_dst, upd_l=upd_l, upd_u=upd_u,
-                upd_mask=upd_mask,
-            ))
-        return levels
+                    for t, (s, li, ui) in enumerate(triples[r][c]):
+                        upd_dst[r, c, k, t] = s
+                        upd_l[r, c, k, t] = li
+                        upd_u[r, c, k, t] = ui
+                        upd_mask[r, c, k, t] = True
+        return dict(diag_slot=diag_slot, l_slot=l_slot, l_mask=l_mask,
+                    u_slot=u_slot, u_mask=u_mask, upd_dst=upd_dst,
+                    upd_l=upd_l, upd_u=upd_u, upd_mask=upd_mask)
 
     # ---- device step ----------------------------------------------------
 
@@ -179,53 +180,66 @@ class DistributedLU:
         backend = self.backend
         p, q = self.p, self.q
         mesh = self.mesh
+        bl = self.schedule.block_length
 
-        def level_body(tiles, k, diag_slot, l_slot, l_mask, u_slot, u_mask,
-                       upd_dst, upd_l, upd_u, upd_mask):
-            # shapes inside shard_map: tiles [1,1,L,nb,nb]; tables [1,1,...]
+        def run(tiles, diag_slot, l_slot, l_mask, u_slot, u_mask,
+                upd_dst, upd_l, upd_u, upd_mask):
+            # shapes inside shard_map: tiles [1,1,L,nb,nb]; tables
+            # [1,1,bl,...] — drop the unit mesh dims, loop levels
+            # on-device.
             tiles = tiles[0, 0]
-            nb = tiles.shape[-1]
+            diag_slot = diag_slot[0, 0]
+            l_slot, l_mask = l_slot[0, 0], l_mask[0, 0]
+            u_slot, u_mask = u_slot[0, 0], u_mask[0, 0]
+            upd_dst, upd_l = upd_dst[0, 0], upd_l[0, 0]
+            upd_u, upd_mask = upd_u[0, 0], upd_mask[0, 0]
             dt = tiles.dtype
             my_r = jax.lax.axis_index("gp")
             my_c = jax.lax.axis_index("gq")
-            is_owner = jnp.logical_and(my_r == k % p, my_c == k % q)
-            # 1. diag broadcast (masked psum over both axes), then
-            #    redundant GETRF + inverses everywhere.
-            local_diag = tiles[diag_slot[0, 0, 0]]
-            contrib = jnp.where(is_owner, local_diag, jnp.zeros_like(local_diag))
-            diag_a = jax.lax.psum(contrib, ("gp", "gq"))
-            diag_f = backend.getrf(diag_a, None)
-            linv, uinv = backend.diag_inverses(diag_f)
-            tiles = tiles.at[diag_slot[0, 0, 0]].set(
-                jnp.where(is_owner, diag_f, tiles[diag_slot[0, 0, 0]]))
-            # 2. panel solves + masked-psum broadcasts.
-            lm = l_mask[0, 0][:, None, None]
-            lblk = jnp.matmul(tiles[l_slot[0, 0]], uinv,
-                              preferred_element_type=dt)
-            lblk = jnp.where(lm, lblk, jnp.zeros_like(lblk))
-            tiles = tiles.at[l_slot[0, 0]].set(
-                jnp.where(lm, lblk, tiles[l_slot[0, 0]]))
-            lpanel = jax.lax.psum(lblk, "gq")
-            um = u_mask[0, 0][:, None, None]
-            ublk = jnp.matmul(linv, tiles[u_slot[0, 0]],
-                              preferred_element_type=dt)
-            ublk = jnp.where(um, ublk, jnp.zeros_like(ublk))
-            tiles = tiles.at[u_slot[0, 0]].set(
-                jnp.where(um, ublk, tiles[u_slot[0, 0]]))
-            upanel = jax.lax.psum(ublk, "gp")
-            # 3. local Schur updates.
-            prod = jnp.matmul(lpanel[upd_l[0, 0]], upanel[upd_u[0, 0]],
-                              preferred_element_type=dt)
-            prod = jnp.where(upd_mask[0, 0][:, None, None], prod,
-                             jnp.zeros_like(prod))
-            tiles = tiles.at[upd_dst[0, 0]].add(-prod)
+
+            def body(k, tiles):
+                is_owner = jnp.logical_and(my_r == k % p, my_c == k % q)
+                # 1. diag broadcast (masked psum over both axes), then
+                #    redundant GETRF + inverses everywhere.
+                local_diag = tiles[diag_slot[k]]
+                contrib = jnp.where(is_owner, local_diag,
+                                    jnp.zeros_like(local_diag))
+                diag_a = jax.lax.psum(contrib, ("gp", "gq"))
+                diag_f = backend.getrf(diag_a, None)
+                linv, uinv = backend.diag_inverses(diag_f)
+                tiles = tiles.at[diag_slot[k]].set(
+                    jnp.where(is_owner, diag_f, tiles[diag_slot[k]]))
+                # 2. panel solves + masked-psum broadcasts.
+                lm = l_mask[k][:, None, None]
+                lblk = jnp.matmul(tiles[l_slot[k]], uinv,
+                                  preferred_element_type=dt)
+                lblk = jnp.where(lm, lblk, jnp.zeros_like(lblk))
+                tiles = tiles.at[l_slot[k]].set(
+                    jnp.where(lm, lblk, tiles[l_slot[k]]))
+                lpanel = jax.lax.psum(lblk, "gq")
+                um = u_mask[k][:, None, None]
+                ublk = jnp.matmul(linv, tiles[u_slot[k]],
+                                  preferred_element_type=dt)
+                ublk = jnp.where(um, ublk, jnp.zeros_like(ublk))
+                tiles = tiles.at[u_slot[k]].set(
+                    jnp.where(um, ublk, tiles[u_slot[k]]))
+                upanel = jax.lax.psum(ublk, "gp")
+                # 3. local Schur updates.
+                prod = jnp.matmul(lpanel[upd_l[k]], upanel[upd_u[k]],
+                                  preferred_element_type=dt)
+                prod = jnp.where(upd_mask[k][:, None, None], prod,
+                                 jnp.zeros_like(prod))
+                tiles = tiles.at[upd_dst[k]].add(-prod)
+                return tiles
+
+            tiles = jax.lax.fori_loop(0, bl, body, tiles)
             return tiles[None, None]
 
         specs = P("gp", "gq")
         shard = jax.shard_map(
-            level_body, mesh=mesh,
-            in_specs=(P("gp", "gq"),) + (P(),) + (specs,) * 9,
-            out_specs=P("gp", "gq"),
+            run, mesh=mesh,
+            in_specs=(specs,) * 10,
+            out_specs=specs,
         )
         return jax.jit(shard, donate_argnums=(0,))
 
@@ -236,15 +250,13 @@ class DistributedLU:
             host = scatter_tiles(self.blocked, self.layout)
             sharding = NamedSharding(self.mesh, P("gp", "gq"))
             dist_tiles = jax.device_put(host, sharding)
+        t = self._levels
         with self.perf.phase("numeric"):
-            for lev in self._levels:
-                dist_tiles = self._step(
-                    dist_tiles, lev["k"], lev["diag_slot"],
-                    lev["l_slot"], lev["l_mask"],
-                    lev["u_slot"], lev["u_mask"],
-                    lev["upd_dst"], lev["upd_l"], lev["upd_u"],
-                    lev["upd_mask"])
-            dist_tiles = jax.block_until_ready(dist_tiles)
+            dist_tiles = self._step(
+                dist_tiles, t["diag_slot"], t["l_slot"], t["l_mask"],
+                t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],
+                t["upd_u"], t["upd_mask"])
+            dist_tiles = device_sync(dist_tiles)
         self.perf.add_flops(self.schedule.flop_estimate())
         self.dist_tiles = dist_tiles
         return gather_tiles(self.blocked, self.layout, dist_tiles)

@@ -71,6 +71,58 @@ class Schedule:
     def max_updates(self):
         return max((len(l.upd_dst) for l in self.levels), default=0)
 
+    def fused_tables(self, scratch_tile: int):
+        """Fully padded [bl, N] index tables for the single-dispatch
+        fused engine: every level padded to the schedule-wide maxima.
+        Returns (diag_idx, l_ids, u_ids, upd_dst, upd_l, upd_u)."""
+        bl = self.block_length
+        nl = max(self.max_lpanel, 1)
+        nu = max(self.max_upanel, 1)
+        np_ = max(self.max_updates, 1)
+        diag_idx = np.zeros(bl, dtype=np.int32)
+        l_ids = np.full((bl, nl), scratch_tile, dtype=np.int32)
+        u_ids = np.full((bl, nu), scratch_tile, dtype=np.int32)
+        upd_dst = np.full((bl, np_), scratch_tile, dtype=np.int32)
+        upd_l = np.zeros((bl, np_), dtype=np.int32)
+        upd_u = np.zeros((bl, np_), dtype=np.int32)
+        for i, lev in enumerate(self.levels):
+            diag_idx[i] = lev.diag
+            l_ids[i, : len(lev.lpanel)] = lev.lpanel
+            u_ids[i, : len(lev.upanel)] = lev.upanel
+            upd_dst[i, : len(lev.upd_dst)] = lev.upd_dst
+            upd_l[i, : len(lev.upd_l)] = lev.upd_l
+            upd_u[i, : len(lev.upd_u)] = lev.upd_u
+        return diag_idx, l_ids, u_ids, upd_dst, upd_l, upd_u
+
+    def fused_solve_tables(self, scratch_tile: int, scratch_seg: int):
+        """Padded tables for the single-dispatch SpTRSV: per level the
+        forward pass needs the L-panel (column k below diag) and the
+        backward pass the U-column panel (column k above diag)."""
+        bl = self.block_length
+        nl = max(self.max_lpanel, 1)
+        nuc = max((len(l.ucolpanel) for l in self.levels), default=0)
+        nuc = max(nuc, 1)
+        diag_idx = np.zeros(bl, dtype=np.int32)
+        l_ids = np.full((bl, nl), scratch_tile, dtype=np.int32)
+        l_rows = np.full((bl, nl), scratch_seg, dtype=np.int32)
+        uc_ids = np.full((bl, nuc), scratch_tile, dtype=np.int32)
+        uc_rows = np.full((bl, nuc), scratch_seg, dtype=np.int32)
+        for i, lev in enumerate(self.levels):
+            diag_idx[i] = lev.diag
+            l_ids[i, : len(lev.lpanel)] = lev.lpanel
+            l_rows[i, : len(lev.lrows)] = lev.lrows
+            uc_ids[i, : len(lev.ucolpanel)] = lev.ucolpanel
+            uc_rows[i, : len(lev.ucolrows)] = lev.ucolrows
+        return diag_idx, l_ids, l_rows, uc_ids, uc_rows
+
+    def fused_overhead(self) -> float:
+        """Padded-work / real-work ratio of the fused engine's Schur
+        stage (the dominant cost); used to pick fused vs per-level
+        dispatch."""
+        real = max(self.n_ssssm, 1)
+        padded = self.block_length * max(self.max_updates, 1)
+        return padded / real
+
     def flop_estimate(self) -> float:
         """Dense-tile flop model (counterpart of the reference's exact
         sparse flop counters, pangulu_kernel_interface.c:4-178 — ours

@@ -25,6 +25,7 @@ import numpy as np
 from pangulu_tpu.blocks import BlockedMatrix
 from pangulu_tpu.ops.interface import KernelBackend, get_backend
 from pangulu_tpu.schedule import Schedule, bucket, pad_ids
+from pangulu_tpu.utils import device_sync
 from pangulu_tpu.utils.perf import PerfCounters
 
 
@@ -48,18 +49,52 @@ def _seg_update(backend: KernelBackend, tiles, x, k, panel_ids, panel_rows):
     return x.at[panel_rows].add(-upd)
 
 
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def _fused_solve(backend: KernelBackend, tiles, x, diag_idx,
+                 l_ids, l_rows, uc_ids, uc_rows):
+    """Whole forward+backward solve in ONE dispatch (lax.fori_loop over
+    levels) — the TPU fast path matching the fused factorize engine."""
+    bl = diag_idx.shape[0]
+    dt = x.dtype
+
+    def fwd(k, x):
+        xk = backend.trsv_lower_unit(tiles[diag_idx[k]], x[k])
+        x = x.at[k].set(xk)
+        upd = jnp.matmul(tiles[l_ids[k]], xk, preferred_element_type=dt)
+        return x.at[l_rows[k]].add(-upd)
+
+    def bwd(i, x):
+        k = bl - 1 - i
+        xk = backend.trsv_upper(tiles[diag_idx[k]], x[k])
+        x = x.at[k].set(xk)
+        upd = jnp.matmul(tiles[uc_ids[k]], xk, preferred_element_type=dt)
+        return x.at[uc_rows[k]].add(-upd)
+
+    x = jax.lax.fori_loop(0, bl, fwd, x)
+    x = jax.lax.fori_loop(0, bl, bwd, x)
+    return x
+
+
 class TriangularSolver:
     """gstrs executor over factored tiles."""
 
     def __init__(self, blocked: BlockedMatrix, schedule: Schedule,
                  backend: KernelBackend | None = None,
-                 perf: PerfCounters | None = None):
+                 perf: PerfCounters | None = None,
+                 dispatch: str = "fused"):
         self.blocked = blocked
         self.schedule = schedule
         self.backend = backend or get_backend(
             "auto", nb=blocked.nb, dtype=blocked.tiles.dtype)
         self.perf = perf or PerfCounters()
-        self._lower_args, self._upper_args = self._prepare()
+        self.dispatch = dispatch
+        if dispatch == "fused":
+            self._fused_args = tuple(
+                jnp.asarray(t) for t in self.schedule.fused_solve_tables(
+                    self.blocked.num_tiles, self.schedule.block_length))
+            self._lower_args = self._upper_args = None
+        else:
+            self._lower_args, self._upper_args = self._prepare()
 
     def _prepare(self):
         scratch_seg = self.schedule.block_length  # scratch x-segment
@@ -104,6 +139,13 @@ class TriangularSolver:
         same leading shape as b (pangulu_solve, pangulu_sptrsv.c:176)."""
         squeeze = np.asarray(b).ndim == 1
         x = self.blockify_rhs(b)
+        if self.dispatch == "fused":
+            with self.perf.phase("sptrsv"):
+                tiles = jnp.asarray(tiles)
+                x = _fused_solve(self.backend, tiles, x, *self._fused_args)
+                x = device_sync(x)
+            out = self.unblockify(x)
+            return out[:, 0] if squeeze else out
         with self.perf.phase("sptrsv"):
             for (diag_idx, k, ids, rows) in self._lower_args:
                 x = _seg_solve(self.backend, tiles, x, (diag_idx, k), True)
@@ -113,6 +155,6 @@ class TriangularSolver:
                 x = _seg_solve(self.backend, tiles, x, (diag_idx, k), False)
                 if len(ids):
                     x = _seg_update(self.backend, tiles, x, k, ids, rows)
-            x = jax.block_until_ready(x)
+            x = device_sync(x)
         out = self.unblockify(x)
         return out[:, 0] if squeeze else out
