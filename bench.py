@@ -19,8 +19,11 @@ import sys
 import time
 
 # Measured on this environment's 1-core CPU backend (jax 0.9, f32,
-# poisson3d(20), nb=128) — see BASELINE.md "measured" table.
-BASELINE_GFLOPS = 2.0
+# poisson3d(32), nb=128, fused engine + Newton inverses) — see
+# BASELINE.md "measured" table.  The reference repo publishes no
+# numbers; this anchors vs_baseline to the identical algorithm on the
+# host CPU.
+BASELINE_GFLOPS = 31.0
 
 
 def main():
@@ -33,24 +36,28 @@ def main():
     from pangulu_tpu.api import InitOptions, gstrf, init
     from pangulu_tpu.models import poisson3d
 
-    nx = int(os.environ.get("PANGULU_BENCH_NX", "20"))
+    nx = int(os.environ.get("PANGULU_BENCH_NX", "32"))
     nb = int(os.environ.get("PANGULU_BENCH_NB", "128"))
+    reps = int(os.environ.get("PANGULU_BENCH_REPS", "3"))
     a = poisson3d(nx)
 
     opts = InitOptions(nb=nb, dtype="r32", ordering="rcm",
                        symbolic_mode="block")
     handle = init(a, opts)
 
-    # Warm-up run compiles every level signature; timed run measures
-    # steady-state throughput (factor-once is the product operation, but
-    # compile time amortizes across solves in production and is cached
-    # on disk across runs).
+    # Warm-up run compiles (persistently cached across runs); timed
+    # runs measure steady-state throughput.  Completion is enforced by
+    # a device readback inside the engine (block_until_ready is a
+    # no-op on tunneled backends).
     gstrf(handle)
-    handle.perf.phase_time.pop("numeric", None)
-    handle.perf.flops = 0.0
-    gstrf(handle)
+    best = 0.0
+    for _ in range(reps):
+        handle.perf.phase_time.pop("numeric", None)
+        handle.perf.flops = 0.0
+        gstrf(handle)
+        best = max(best, handle.perf.gflops("numeric"))
 
-    gflops = handle.perf.gflops("numeric")
+    gflops = best
     result = {
         "metric": "numeric_factorization_gflops",
         "value": round(gflops, 3),

@@ -1,0 +1,145 @@
+"""ctypes loader for the native host runtime (native/pangulu_host.cpp).
+
+The performance-critical sequential host pipeline — elimination tree,
+symbolic fill enumeration, minimum-degree ordering, MC64 matching with
+exact dual scalings — is implemented in C++ (the reference implements
+these in C: pangulu_symbolic.c, pangulu_reordering.c).  Python
+fallbacks exist for every function; the native lib is an accelerator,
+not a dependency.  Built with::
+
+    make native            # or: python -m pangulu_tpu.native
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = os.environ.get("PANGULU_TPU_NATIVE",
+                           str(_SRC / "libpangulu_host.so"))
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    src = _SRC / "pangulu_host.cpp"
+    if not src.exists():
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", _LIB_PATH, str(src)],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.pangulu_etree.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+    lib.pangulu_etree.restype = None
+    lib.pangulu_fill_walk.argtypes = [ctypes.c_int64, i64p, i32p, i64p,
+                                      ctypes.c_int64, u8p, ctypes.c_int64]
+    lib.pangulu_fill_walk.restype = ctypes.c_int64
+    lib.pangulu_mindeg.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
+    lib.pangulu_mindeg.restype = None
+    lib.pangulu_mc64.argtypes = [ctypes.c_int64, i64p, i32p, f64p, i64p,
+                                 f64p, f64p]
+    lib.pangulu_mc64.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def _i64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def etree(n, indptr, indices):
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _i64(indptr), _i32(indices)
+    parent = np.empty(n, dtype=np.int64)
+    lib.pangulu_etree(n, _ptr(indptr, ctypes.c_int64),
+                      _ptr(indices, ctypes.c_int32),
+                      _ptr(parent, ctypes.c_int64))
+    return parent
+
+
+def fill_walk(n, indptr, indices, parent, nb, bl):
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices, parent = _i64(indptr), _i32(indices), _i64(parent)
+    mark = np.zeros(bl * bl, dtype=np.uint8)
+    count = lib.pangulu_fill_walk(
+        n, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(parent, ctypes.c_int64), nb, _ptr(mark, ctypes.c_uint8), bl)
+    return int(count), mark.reshape(bl, bl).astype(bool)
+
+
+def mindeg(n, indptr, indices):
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _i64(indptr), _i32(indices)
+    order = np.empty(n, dtype=np.int64)
+    lib.pangulu_mindeg(n, _ptr(indptr, ctypes.c_int64),
+                       _ptr(indices, ctypes.c_int32),
+                       _ptr(order, ctypes.c_int64))
+    return order
+
+
+def mc64(n, colptr, rowidx, absval):
+    """Returns (colperm, row_scale, col_scale) or None (no lib /
+    structurally singular)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    colptr, rowidx = _i64(colptr), _i32(rowidx)
+    absval = np.ascontiguousarray(absval, dtype=np.float64)
+    colperm = np.empty(n, dtype=np.int64)
+    rs = np.empty(n, dtype=np.float64)
+    cs = np.empty(n, dtype=np.float64)
+    rc = lib.pangulu_mc64(n, _ptr(colptr, ctypes.c_int64),
+                          _ptr(rowidx, ctypes.c_int32),
+                          _ptr(absval, ctypes.c_double),
+                          _ptr(colperm, ctypes.c_int64),
+                          _ptr(rs, ctypes.c_double),
+                          _ptr(cs, ctypes.c_double))
+    if rc != 0:
+        return None
+    return colperm, rs, cs
+
+
+if __name__ == "__main__":
+    ok = _build()
+    print("native build:", "ok" if ok else "FAILED", "->", _LIB_PATH)

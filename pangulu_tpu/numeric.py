@@ -40,9 +40,8 @@ from pangulu_tpu.utils.perf import PerfCounters
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _diag_step(backend: KernelBackend, tiles, diag_idx):
     """GETRF the diagonal tile; return triangle inverses."""
-    diag = backend.getrf(tiles[diag_idx[0]], None)
+    diag, linv, uinv = backend.diag_factor_invert(tiles[diag_idx[0]], None)
     tiles = tiles.at[diag_idx[0]].set(diag)
-    linv, uinv = backend.diag_inverses(diag)
     return tiles, linv, uinv
 
 
@@ -105,9 +104,8 @@ def _fused_factorize(backend: KernelBackend, tiles, diag_idx, l_ids, u_ids,
 
     def body(k, tiles):
         d_idx = diag_idx[k]
-        diag = backend.getrf(tiles[d_idx], None)
+        diag, linv, uinv = backend.diag_factor_invert(tiles[d_idx], None)
         tiles = tiles.at[d_idx].set(diag)
-        linv, uinv = backend.diag_inverses(diag)
         if has_l:
             lids = l_ids[k]
             lblk = jnp.matmul(tiles[lids], uinv, preferred_element_type=dt)
@@ -186,7 +184,12 @@ class LUFactorizer:
         """Run the factorization; returns factored tiles (device array,
         L\\U packed per tile)."""
         if tiles is None:
-            tiles = jnp.asarray(self.blocked.tiles)
+            # H2D of the tile store counts as preprocessing (the
+            # reference scatters blocks in pangulu_preprocessing, not
+            # in the numeric phase) — and the transfer is async, so it
+            # must complete before the numeric timer starts.
+            with self.perf.phase("preprocess"):
+                tiles = device_sync(jnp.asarray(self.blocked.tiles))
         if self.dispatch == "fused":
             with self.perf.phase("numeric"):
                 tiles = _fused_factorize(self.backend, tiles,

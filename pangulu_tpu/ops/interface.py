@@ -30,6 +30,7 @@ class KernelBackend:
     gessm: Callable          # (diag, b) -> L @ X = B solve
     ssssm: Callable          # (c, a, b) -> c - a@b
     diag_inverses: Callable  # factored diag -> (L^-1, U^-1)
+    diag_factor_invert: Callable  # raw diag -> (f, L^-1, U^-1), MXU-only
     trsv_lower_unit: Callable
     trsv_upper: Callable
     spmv_sub: Callable
@@ -54,6 +55,7 @@ def _jax_backend() -> KernelBackend:
         gessm=k.gessm,
         ssssm=k.ssssm,
         diag_inverses=k.diag_inverses,
+        diag_factor_invert=k.getrf_with_inverses,
         trsv_lower_unit=k.trsv_lower_unit,
         trsv_upper=k.trsv_upper,
         spmv_sub=k.spmv_sub,
@@ -76,8 +78,8 @@ def get_backend(name: str = "auto", nb: int = 256,
             on_tpu
             and "pallas" in _REGISTRY
             and nb % 128 == 0
-            and (dtype is None or not jax.numpy.issubdtype(
-                jax.numpy.dtype(dtype), jax.numpy.complexfloating))
+            and (dtype is None
+                 or jax.numpy.dtype(dtype) == jax.numpy.float32)
         )
         return _REGISTRY["pallas" if use_pallas else "jax"]
     if name not in _REGISTRY:

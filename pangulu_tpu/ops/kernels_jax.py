@@ -157,6 +157,99 @@ def diag_inverses(diag):
     return linv, uinv
 
 
+def unit_lower_inv_newton(f):
+    """Exact inverse of unit_tril(f) by Newton–Schulz doubling.
+
+    For L = I + N with N strictly lower (nilpotent), X_0 = I - N and
+    X_{k+1} = X_k (2I - L X_k) satisfies L X_k = I - N^(2^{k+1}), so
+    after ceil(log2(nb)) - 1 steps the inverse is EXACT (not an
+    approximation) — ceil(log2(nb)) matmul pairs instead of nb
+    sequential substitution steps.  Pure MXU work.
+    """
+    nb = f.shape[-1]
+    dt = f.dtype
+    eye = jnp.eye(nb, dtype=dt)
+    lmat = jnp.tril(f, -1) + eye
+    x = 2 * eye - lmat  # I - N
+    steps = max((nb - 1).bit_length() - 1, 0)
+    for _ in range(steps):
+        x = jnp.matmul(x, 2 * eye - jnp.matmul(lmat, x,
+                                               preferred_element_type=dt),
+                       preferred_element_type=dt)
+    return x
+
+
+def upper_inv_newton(f, tol):
+    """Exact inverse of triu(f) (with tiny-pivot substitution) via the
+    same doubling on the unit-upper part: U = D (I + M) with
+    M = D^-1 R strictly upper -> U^-1 = (I + M)^-1 D^-1."""
+    nb = f.shape[-1]
+    dt = f.dtype
+    eye = jnp.eye(nb, dtype=dt)
+    d = _safe_pivot(jnp.diagonal(f), tol)
+    dinv = 1.0 / d
+    m = jnp.triu(f, 1) * dinv[:, None]  # D^-1 R
+    x = eye - m
+    umat = eye + m
+    steps = max((nb - 1).bit_length() - 1, 0)
+    for _ in range(steps):
+        x = jnp.matmul(x, 2 * eye - jnp.matmul(umat, x,
+                                               preferred_element_type=dt),
+                       preferred_element_type=dt)
+    return x * dinv[None, :]
+
+
+def _unblocked_lu_with_inv(a, tol):
+    """Base case: rank-1 LU fori pass + Newton-doubling inverses."""
+    f = _getrf_unblocked(a, tol)
+    return f, unit_lower_inv_newton(f), upper_inv_newton(f, tol)
+
+
+def getrf_with_inverses(a, tol=None):
+    """Fused GETRF + triangle inverses, MXU-only recursion.
+
+    The key TPU design: computing (f, L^-1, U^-1) jointly turns the
+    recursive TRSM steps into matmuls against already-computed child
+    inverses, and assembles the parent inverses by block formulas
+
+        L^-1 = [[L11^-1, 0], [-L22^-1 L21 L11^-1, L22^-1]]
+        U^-1 = [[U11^-1, -U11^-1 U12 U22^-1], [0, U22^-1]]
+
+    so the entire diagonal step is matmuls + one small base case — no
+    TriangularSolve custom calls in the factorization hot loop.
+    """
+    if tol is None:
+        tol = DEFAULT_TOL[a.dtype]
+    m = a.shape[-1]
+    if m <= _BASE:
+        return _unblocked_lu_with_inv(a, tol)
+    m1 = _split(m)
+    dt = a.dtype
+    a11, a12 = a[:m1, :m1], a[:m1, m1:]
+    a21, a22 = a[m1:, :m1], a[m1:, m1:]
+    f11, linv11, uinv11 = getrf_with_inverses(a11, tol)
+    u12 = jnp.matmul(linv11, a12, preferred_element_type=dt)
+    l21 = jnp.matmul(a21, uinv11, preferred_element_type=dt)
+    s22 = a22 - jnp.matmul(l21, u12, preferred_element_type=dt)
+    f22, linv22, uinv22 = getrf_with_inverses(s22, tol)
+    z_tr = jnp.zeros((m1, m - m1), dt)
+    z_bl = jnp.zeros((m - m1, m1), dt)
+    f = jnp.concatenate([
+        jnp.concatenate([f11, u12], axis=1),
+        jnp.concatenate([l21, f22], axis=1)], axis=0)
+    linv = jnp.concatenate([
+        jnp.concatenate([linv11, z_tr], axis=1),
+        jnp.concatenate([-jnp.matmul(linv22, jnp.matmul(
+            l21, linv11, preferred_element_type=dt),
+            preferred_element_type=dt), linv22], axis=1)], axis=0)
+    uinv = jnp.concatenate([
+        jnp.concatenate([uinv11, -jnp.matmul(uinv11, jnp.matmul(
+            u12, uinv22, preferred_element_type=dt),
+            preferred_element_type=dt)], axis=1),
+        jnp.concatenate([z_bl, uinv22], axis=1)], axis=0)
+    return f, linv, uinv
+
+
 def spmv_sub(y, a, x):
     """y -= A @ x (reference spmv, pangulu_platform_0100000.c:435-453)."""
     return y - a @ x

@@ -205,8 +205,7 @@ class DistributedLU:
                 contrib = jnp.where(is_owner, local_diag,
                                     jnp.zeros_like(local_diag))
                 diag_a = jax.lax.psum(contrib, ("gp", "gq"))
-                diag_f = backend.getrf(diag_a, None)
-                linv, uinv = backend.diag_inverses(diag_f)
+                diag_f, linv, uinv = backend.diag_factor_invert(diag_a, None)
                 tiles = tiles.at[diag_slot[k]].set(
                     jnp.where(is_owner, diag_f, tiles[diag_slot[k]]))
                 # 2. panel solves + masked-psum broadcasts.

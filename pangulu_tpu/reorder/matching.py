@@ -105,6 +105,19 @@ def mc64_scale_and_match(a: CscMatrix, enable: bool = True):
         return np.ones(n), np.ones(n), np.arange(n, dtype=np.int64)
     s = a.to_scipy().copy()
     s.data = np.abs(s.data).astype(np.float64)
+    s.eliminate_zeros()
+    # Native path: exact Duff–Koster job-5 duals -> scalings with unit
+    # matched diagonal and all |entries| <= 1 (native/pangulu_host.cpp
+    # pangulu_mc64), like the reference's exp() factors
+    # (pangulu_reordering.c:655-663).
+    from pangulu_tpu import native
+
+    if s.nnz:
+        res = native.mc64(n, s.indptr, s.indices, s.data)
+        if res is not None:
+            colperm, dr, dc = res
+            return dr, dc, np.asarray(colperm, dtype=np.int64)
+    # Fallback: scipy matching + Ruiz equilibration.
     dr, dc = ruiz_scale(s)
     scaled = sp.diags(dr) @ s @ sp.diags(dc)
     colperm = mc64_match(CscMatrix.from_scipy(scaled))

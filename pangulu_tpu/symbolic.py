@@ -46,10 +46,18 @@ class SymbolicResult:
 
 
 def elimination_tree(sym: sp.csc_matrix) -> np.ndarray:
-    """Liu's elimination-tree algorithm on a symmetric pattern."""
+    """Liu's elimination-tree algorithm on a symmetric pattern.
+
+    Uses the native C++ runtime when available (pangulu_etree,
+    native/pangulu_host.cpp); pure-Python fallback below."""
     n = sym.shape[0]
     csr = sym.tocsr()
     indptr, indices = csr.indptr, csr.indices
+    from pangulu_tpu import native
+
+    parent = native.etree(n, indptr, indices)
+    if parent is not None:
+        return parent
     parent = np.full(n, -1, dtype=np.int64)
     ancestor = np.full(n, -1, dtype=np.int64)
     for i in range(n):
@@ -79,6 +87,15 @@ def _fill_walk(sym: sp.csc_matrix, parent: np.ndarray, nb: int,
     n = sym.shape[0]
     csr = sym.tocsr()
     indptr, indices = csr.indptr, csr.indices
+    if block_mark is not None:
+        from pangulu_tpu import native
+
+        res = native.fill_walk(n, indptr, indices, parent, nb,
+                               block_mark.shape[0])
+        if res is not None:
+            count, mark = res
+            block_mark |= mark
+            return count
     visited = np.full(n, -1, dtype=np.int64)
     count = 0
     for i in range(n):

@@ -86,6 +86,21 @@ def test_diag_inverses():
                                rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.parametrize("nb", [16, 32, 96])
+def test_getrf_with_inverses(nb):
+    a = _rand(nb=nb)
+    f, linv, uinv = jax.jit(_K.getrf_with_inverses)(jnp.asarray(a))
+    f, linv, uinv = map(np.asarray, (f, linv, uinv))
+    l = np.tril(f, -1) + np.eye(nb)
+    u = np.triu(f)
+    np.testing.assert_allclose(l @ u, a, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(linv @ l, np.eye(nb), rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(uinv @ u, np.eye(nb), rtol=1e-8, atol=1e-8)
+    # must agree with the plain getrf kernel
+    f2 = np.asarray(K.getrf(jnp.asarray(a)))
+    np.testing.assert_allclose(f, f2, rtol=1e-9, atol=1e-9)
+
+
 def test_ssssm():
     a, b, c = _rand(seed=1), _rand(seed=2), _rand(seed=3)
     out = np.asarray(K.ssssm(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b)))

@@ -1,0 +1,53 @@
+"""Pallas kernel parity tests (interpreter mode on CPU; the real
+Mosaic path runs on TPU where the driver benches)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pangulu_tpu.ops import kernels_jax as kj
+
+try:
+    from pangulu_tpu.ops import kernels_pallas as kp
+
+    _HAVE = True
+except Exception:  # pragma: no cover
+    _HAVE = False
+
+pytestmark = pytest.mark.skipif(not _HAVE, reason="pallas unavailable")
+
+
+@pytest.mark.parametrize("nb", [32, 128])
+def test_pallas_getrf_inv_matches_jax(nb):
+    rng = np.random.default_rng(0)
+    a = (rng.standard_normal((nb, nb)) + nb * np.eye(nb)).astype(np.float32)
+    f_p, linv_p, uinv_p = kp.getrf_with_inverses(jnp.asarray(a))
+    f_j, linv_j, uinv_j = kj.getrf_with_inverses(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_j),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(linv_p), np.asarray(linv_j),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(uinv_p), np.asarray(uinv_j),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_getrf_reconstructs():
+    nb = 64
+    rng = np.random.default_rng(1)
+    a = (rng.standard_normal((nb, nb)) + nb * np.eye(nb)).astype(np.float32)
+    f, linv, uinv = kp.getrf_with_inverses(jnp.asarray(a))
+    f = np.asarray(f)
+    l = np.tril(f, -1) + np.eye(nb, dtype=np.float32)
+    u = np.triu(f)
+    np.testing.assert_allclose(l @ u, a, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(linv) @ l, np.eye(nb),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(uinv) @ u, np.eye(nb),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_tiny_pivot():
+    a = np.eye(8, dtype=np.float32)
+    a[3, 3] = 0.0
+    f = np.asarray(kp.getrf(jnp.asarray(a), tol=1e-8))
+    assert f[3, 3] == np.float32(1e-8)
