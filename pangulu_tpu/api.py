@@ -147,7 +147,10 @@ def gstrf(handle: Handle) -> None:
 
 def _solve_once(handle: Handle, b: np.ndarray) -> np.ndarray:
     bt = handle.reordering.transform_b(b)
-    w = handle._trisolver.solve(handle.factor_tiles, bt)
+    if handle._dist is not None:
+        w = handle._trisolver.solve(handle._dist.dist_tiles, bt)
+    else:
+        w = handle._trisolver.solve(handle.factor_tiles, bt)
     return handle.reordering.transform_x(w)
 
 
@@ -171,9 +174,18 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
     if handle._trisolver is None:
         backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
                               dtype=work_dtype)
-        handle._trisolver = TriangularSolver(
-            handle.blocked, handle.schedule, backend=backend,
-            perf=handle.perf)
+        if handle._dist is not None:
+            from pangulu_tpu.parallel.dist_sptrsv import (
+                DistributedTriangularSolver,
+            )
+
+            handle._trisolver = DistributedTriangularSolver(
+                handle.blocked, handle.schedule, handle._dist.layout,
+                handle._dist.mesh, backend=backend, perf=handle.perf)
+        else:
+            handle._trisolver = TriangularSolver(
+                handle.blocked, handle.schedule, backend=backend,
+                perf=handle.perf)
     if refine is None:
         refine = handle.opts.refine
     if refine is None or refine < 0:  # auto

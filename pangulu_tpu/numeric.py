@@ -150,15 +150,26 @@ class LUFactorizer:
             raise ValueError("panel_solve must be 'inv' or 'trsm'")
         self.panel_solve = panel_solve
         if dispatch == "auto":
-            dispatch = ("fused" if panel_solve == "inv" and
-                        self.schedule.fused_overhead() <=
-                        self.FUSED_OVERHEAD_LIMIT else "levels")
+            if panel_solve != "inv":
+                dispatch = "levels"
+            elif (self.schedule.fused_overhead()
+                  <= self.FUSED_OVERHEAD_LIMIT):
+                dispatch = "fused"
+            else:
+                dispatch = "segmented"
         self.dispatch = dispatch
+        self._prepared = None
+        self._fused_args = None
+        self._segments = None
         if dispatch == "fused":
             self._fused_args = tuple(
                 jnp.asarray(t) for t in
                 self.schedule.fused_tables(self.blocked.num_tiles))
-            self._prepared = None
+        elif dispatch == "segmented":
+            self._segments = [
+                tuple(jnp.asarray(t) for t in seg)
+                for seg in self.schedule.segmented_tables(
+                    self.blocked.num_tiles)]
         else:
             self._prepared = self._prepare_levels()
 
@@ -190,10 +201,14 @@ class LUFactorizer:
             # must complete before the numeric timer starts.
             with self.perf.phase("preprocess"):
                 tiles = device_sync(jnp.asarray(self.blocked.tiles))
-        if self.dispatch == "fused":
+        if self.dispatch in ("fused", "segmented"):
             with self.perf.phase("numeric"):
-                tiles = _fused_factorize(self.backend, tiles,
-                                         *self._fused_args)
+                if self.dispatch == "fused":
+                    tiles = _fused_factorize(self.backend, tiles,
+                                             *self._fused_args)
+                else:
+                    for seg in self._segments:
+                        tiles = _fused_factorize(self.backend, tiles, *seg)
                 tiles = device_sync(tiles)
             self.perf.add_flops(self.schedule.flop_estimate())
             self.perf.kernel_counts(

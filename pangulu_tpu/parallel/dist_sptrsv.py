@@ -1,0 +1,159 @@
+"""Distributed blocked triangular solves (multi-chip gstrs).
+
+TPU-native re-expression of the reference's SpTRSV
+(pangulu_sptrsv.c:24-174): the reference computes per-rank partial
+spmv accumulations, point-to-point reduces them onto the diagonal
+owner, solves the nb triangle there and MPI_Bcasts the solved segment.
+
+Here the solution vector is **additively sharded**: every device holds
+a partial x whose mesh-sum is the true x (the collective analogue of
+the reference's spmv_acc buffers).  Per level, inside one fused
+shard_map fori_loop:
+
+  1. ``psum`` the k-th segment (the reduce-to-owner),
+  2. the diag owner solves the nb triangle, a second masked ``psum``
+     broadcasts the solved segment (the reference's MPI_Bcast),
+  3. owners of column-k panel blocks subtract ``T(i,k) @ x_k`` from
+     their partial segments locally (the reference's per-rank spmv).
+
+Two [nb, nrhs] psums per level — strictly less traffic than the
+reference's panel-sized exchanges.  The whole lower+upper sweep is ONE
+device dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pangulu_tpu.blocks import BlockedMatrix
+from pangulu_tpu.ops.interface import KernelBackend, get_backend
+from pangulu_tpu.schedule import Schedule
+from pangulu_tpu.utils import device_sync
+from pangulu_tpu.utils.perf import PerfCounters
+
+
+class DistributedTriangularSolver:
+    """Multi-chip gstrs executor over block-cyclic factored tiles."""
+
+    def __init__(self, blocked: BlockedMatrix, schedule: Schedule,
+                 layout, mesh: Mesh,
+                 backend: KernelBackend | None = None,
+                 perf: PerfCounters | None = None):
+        self.blocked = blocked
+        self.schedule = schedule
+        self.layout = layout
+        self.mesh = mesh
+        self.p, self.q = mesh.devices.shape
+        self.backend = backend or get_backend(
+            "auto", nb=blocked.nb, dtype=blocked.tiles.dtype)
+        self.perf = perf or PerfCounters()
+        self._tables = self._prepare()
+        self._run = None
+        self._nrhs = None
+
+    def _prepare(self):
+        lay, p, q = self.layout, self.p, self.q
+        bl = self.schedule.block_length
+        scratch_tile = lay.lmax - 1
+        scratch_seg = bl  # x carries bl+1 segments
+        nl = max(self.schedule.max_lpanel, 1)
+        nuc = max((len(l.ucolpanel) for l in self.schedule.levels),
+                  default=0)
+        nuc = max(nuc, 1)
+        diag_slot = np.full((p, q, bl), scratch_tile, dtype=np.int32)
+        l_slot = np.full((p, q, bl, nl), scratch_tile, dtype=np.int32)
+        l_rows = np.full((p, q, bl, nl), scratch_seg, dtype=np.int32)
+        uc_slot = np.full((p, q, bl, nuc), scratch_tile, dtype=np.int32)
+        uc_rows = np.full((p, q, bl, nuc), scratch_seg, dtype=np.int32)
+        for lev in self.schedule.levels:
+            k = lev.k
+            kr, kc = k % p, k % q
+            diag_slot[kr, kc, k] = lay.tile_slot[lev.diag]
+            for t, (tid, bi) in enumerate(zip(lev.lpanel, lev.lrows)):
+                r, c = lay.tile_owner_r[tid], lay.tile_owner_c[tid]
+                l_slot[r, c, k, t] = lay.tile_slot[tid]
+                l_rows[r, c, k, t] = bi
+            for t, (tid, bi) in enumerate(zip(lev.ucolpanel, lev.ucolrows)):
+                r, c = lay.tile_owner_r[tid], lay.tile_owner_c[tid]
+                uc_slot[r, c, k, t] = lay.tile_slot[tid]
+                uc_rows[r, c, k, t] = bi
+        return dict(diag_slot=diag_slot, l_slot=l_slot, l_rows=l_rows,
+                    uc_slot=uc_slot, uc_rows=uc_rows)
+
+    def _build(self, nrhs: int):
+        backend = self.backend
+        p, q = self.p, self.q
+        bl = self.schedule.block_length
+        nb = self.schedule.nb
+
+        def run(tiles, x, diag_slot, l_slot, l_rows, uc_slot, uc_rows):
+            tiles = tiles[0, 0]
+            x = x[0, 0]
+            diag_slot = diag_slot[0, 0]
+            l_slot, l_rows = l_slot[0, 0], l_rows[0, 0]
+            uc_slot, uc_rows = uc_slot[0, 0], uc_rows[0, 0]
+            dt = x.dtype
+            my_r = jax.lax.axis_index("gp")
+            my_c = jax.lax.axis_index("gq")
+
+            def level(k, x, slot_tab, rows_tab, lower):
+                is_owner = jnp.logical_and(my_r == k % p, my_c == k % q)
+                xk = jax.lax.psum(x[k], ("gp", "gq"))
+                d = tiles[diag_slot[k]]
+                solved = (backend.trsv_lower_unit(d, xk) if lower
+                          else backend.trsv_upper(d, xk))
+                solved = jax.lax.psum(
+                    jnp.where(is_owner, solved, jnp.zeros_like(solved)),
+                    ("gp", "gq"))
+                x = x.at[k].set(jnp.where(is_owner, solved,
+                                          jnp.zeros_like(solved)))
+                upd = jnp.matmul(tiles[slot_tab[k]], solved,
+                                 preferred_element_type=dt)
+                return x.at[rows_tab[k]].add(-upd)
+
+            def fwd(k, x):
+                return level(k, x, l_slot, l_rows, True)
+
+            def bwd(i, x):
+                return level(bl - 1 - i, x, uc_slot, uc_rows, False)
+
+            x = jax.lax.fori_loop(0, bl, fwd, x)
+            x = jax.lax.fori_loop(0, bl, bwd, x)
+            return x[None, None]
+
+        specs = P("gp", "gq")
+        shard = jax.shard_map(run, mesh=self.mesh,
+                              in_specs=(specs,) * 7, out_specs=specs)
+        return jax.jit(shard, donate_argnums=(1,))
+
+    def solve(self, dist_tiles, b: np.ndarray) -> np.ndarray:
+        """b: [n] or [n, nrhs] on host -> x on host."""
+        bl, nb = self.schedule.block_length, self.schedule.nb
+        n = self.blocked.n
+        b = np.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        nrhs = b.shape[1]
+        if self._run is None or self._nrhs != nrhs:
+            self._run = self._build(nrhs)
+            self._nrhs = nrhs
+        # additively sharded x: device (0,0) holds b, others zero.
+        xh = np.zeros((self.p, self.q, bl + 1, nb, nrhs),
+                      dtype=self.blocked.tiles.dtype)
+        flat = xh[0, 0, :bl].reshape(bl * nb, nrhs)
+        flat[:n] = b
+        sharding = NamedSharding(self.mesh, P("gp", "gq"))
+        x = jax.device_put(xh, sharding)
+        t = self._tables
+        with self.perf.phase("sptrsv"):
+            x = self._run(dist_tiles, x, t["diag_slot"], t["l_slot"],
+                          t["l_rows"], t["uc_slot"], t["uc_rows"])
+            x = device_sync(x)
+        out = np.asarray(x).sum(axis=(0, 1))[:bl].reshape(bl * nb, nrhs)[:n]
+        return out[:, 0] if squeeze else out

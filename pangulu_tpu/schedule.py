@@ -115,6 +115,61 @@ class Schedule:
             uc_rows[i, : len(lev.ucolrows)] = lev.ucolrows
         return diag_idx, l_ids, l_rows, uc_ids, uc_rows
 
+    def segmented_tables(self, scratch_tile: int, min_run: int = 4):
+        """Segment the level sequence into runs sharing one bucketed
+        (nl, nu, nup) signature and build per-segment padded tables.
+
+        The fused engine pads every level to the schedule-wide maxima —
+        wasteful for skewed schedules (minimum-degree orderings grow
+        denser toward the end).  Segmenting bounds padding to <=2x per
+        dimension within each run while keeping the dispatch count at
+        O(#signature changes); runs shorter than ``min_run`` merge into
+        their neighbour (elementwise-max signature) to bound the jit
+        cache.  Returns a list of fused-table tuples, each shaped
+        [seg_len, ...] and consumable by the same fused engine.
+        """
+        sig = [(bucket(max(len(l.lpanel), 1)),
+                bucket(max(len(l.upanel), 1)),
+                bucket(max(len(l.upd_dst), 1))) for l in self.levels]
+        # group consecutive equal signatures
+        runs = []  # (start, end_exclusive, sig)
+        s = 0
+        for i in range(1, len(sig) + 1):
+            if i == len(sig) or sig[i] != sig[s]:
+                runs.append([s, i, sig[s]])
+                s = i
+        # merge short runs into the previous (or next) run
+        merged = []
+        for run in runs:
+            if merged and (run[1] - run[0] < min_run
+                           or merged[-1][1] - merged[-1][0] < min_run):
+                prev = merged[-1]
+                prev[1] = run[1]
+                prev[2] = tuple(max(a, b) for a, b in zip(prev[2], run[2]))
+            else:
+                merged.append(run)
+        out = []
+        for start, end, (nl, nu, np_) in merged:
+            seg = end - start
+            seg_p = bucket(seg)  # pad run length too: dummy trailing
+            # levels factor the scratch tile (harmless), keeping the
+            # jit cache keyed on power-of-two shapes only.
+            diag_idx = np.full(seg_p, scratch_tile, dtype=np.int32)
+            l_ids = np.full((seg_p, nl), scratch_tile, dtype=np.int32)
+            u_ids = np.full((seg_p, nu), scratch_tile, dtype=np.int32)
+            upd_dst = np.full((seg_p, np_), scratch_tile, dtype=np.int32)
+            upd_l = np.zeros((seg_p, np_), dtype=np.int32)
+            upd_u = np.zeros((seg_p, np_), dtype=np.int32)
+            for t, lev in enumerate(self.levels[start:end]):
+                diag_idx[t] = lev.diag
+                l_ids[t, : len(lev.lpanel)] = lev.lpanel
+                u_ids[t, : len(lev.upanel)] = lev.upanel
+                upd_dst[t, : len(lev.upd_dst)] = lev.upd_dst
+                upd_l[t, : len(lev.upd_l)] = lev.upd_l
+                upd_u[t, : len(lev.upd_u)] = lev.upd_u
+            out.append((diag_idx, l_ids, u_ids, upd_dst, upd_l, upd_u))
+        return out
+
     def fused_overhead(self) -> float:
         """Padded-work / real-work ratio of the fused engine's Schur
         stage (the dominant cost); used to pick fused vs per-level

@@ -73,3 +73,36 @@ def test_api_mesh_shape():
     s = Solver(a, InitOptions(nb=8, dtype="r64", mesh_shape=(2, 2)))
     x = s.solve(b)
     assert residual_norm(a.to_scipy(), x, b) < 1e-10
+
+
+def test_distributed_sptrsv_matches_single_chip():
+    from pangulu_tpu.parallel.dist_sptrsv import DistributedTriangularSolver
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a, ro, blocked, schedule = _problem(nb=8, nx=6)
+    mesh = make_mesh(4)
+    dist = DistributedLU(blocked, schedule, mesh.devices.shape, mesh=mesh)
+    dist.factorize()
+    bt = ro.transform_b(generated_rhs(a))
+    dts = DistributedTriangularSolver(blocked, schedule, dist.layout, mesh)
+    w_dist = dts.solve(dist.dist_tiles, bt)
+    from pangulu_tpu.blocks import gather_factor  # noqa: F401
+    single_tiles = np.asarray(LUFactorizer(blocked, schedule).factorize())
+    ts = TriangularSolver(blocked, schedule)
+    w_single = ts.solve(single_tiles, bt)
+    np.testing.assert_allclose(w_dist, w_single, rtol=1e-12, atol=1e-12)
+
+
+def test_distributed_sptrsv_multi_rhs():
+    from pangulu_tpu.parallel.dist_sptrsv import DistributedTriangularSolver
+
+    a, ro, blocked, schedule = _problem(nb=8, nx=5)
+    mesh = make_mesh(8)
+    dist = DistributedLU(blocked, schedule, mesh.devices.shape, mesh=mesh)
+    dist.factorize()
+    rng = np.random.default_rng(11)
+    xs = rng.standard_normal((a.n, 3))
+    bs = ro.reordered.to_scipy() @ xs
+    dts = DistributedTriangularSolver(blocked, schedule, dist.layout, mesh)
+    w = dts.solve(dist.dist_tiles, bs)
+    np.testing.assert_allclose(w, xs, rtol=1e-8, atol=1e-8)
