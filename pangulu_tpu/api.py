@@ -54,6 +54,10 @@ class InitOptions:
     mesh_shape: Optional[tuple] = None  # (p, q) for multi-chip; None=1 chip
     refine: int = -1             # iterative-refinement rounds in gstrs;
                                  # -1 = auto (2 for 32-bit types, 0 else)
+    profile_dir: Optional[str] = None  # jax.profiler trace of the numeric
+                                       # phase (reference: -DPANGULU_PERF
+                                       # timers; ours captures full XLA
+                                       # traces viewable in XProf)
 
     def resolve_dtype(self):
         if self.dtype not in VALUE_DTYPES:
@@ -99,7 +103,11 @@ def init(a, opts: InitOptions | None = None) -> Handle:
         ro = reorder(a, mc64=opts.mc64, ordering=opts.ordering)
     symb_mode = opts.symbolic_mode
     if symb_mode == "auto":
-        symb_mode = "scalar" if a.n <= 200_000 else "block"
+        from pangulu_tpu import native as _native
+
+        # native fill-walk handles millions of rows; pure-Python caps out
+        symb_mode = ("scalar" if _native.get_lib() is not None
+                     or a.n <= 50_000 else "block")
     with perf.phase("symbolic"):
         symb = symbolic(ro.reordered, opts.nb, mode=symb_mode)
     with perf.phase("preprocess"):
@@ -119,7 +127,13 @@ def init(a, opts: InitOptions | None = None) -> Handle:
 def gstrf(handle: Handle) -> None:
     """Numeric factorization (reference: pangulu_gstrf, pangulu.c:211)."""
     backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
-                          dtype=handle.blocked.tiles.dtype)
+                          dtype=handle.blocked.dtype)
+    profile_ctx = None
+    if handle.opts.profile_dir:
+        import jax as _jax
+
+        profile_ctx = _jax.profiler.trace(handle.opts.profile_dir)
+        profile_ctx.__enter__()
     if handle.opts.mesh_shape is not None:
         from pangulu_tpu.parallel.dist_numeric import DistributedLU
 
@@ -133,6 +147,9 @@ def gstrf(handle: Handle) -> None:
             handle.blocked, handle.schedule, backend=backend,
             perf=handle.perf)
         handle.factor_tiles = handle._factorizer.factorize()
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        log.info("profiler trace written to %s", handle.opts.profile_dir)
     log.info(handle.perf.summary())
     if handle.opts.check:
         lmat, umat = gather_factor(handle.blocked,
@@ -168,7 +185,7 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
     if handle.factor_tiles is None:
         raise RuntimeError("gstrs called before gstrf (reference aborts "
                            "the same way)")
-    work_dtype = handle.blocked.tiles.dtype
+    work_dtype = handle.blocked.dtype
     b_in = np.asarray(b)
     b = b_in.astype(work_dtype)
     if handle._trisolver is None:

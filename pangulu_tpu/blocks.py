@@ -46,9 +46,35 @@ class BlockedMatrix:
     brownnzptr: np.ndarray  # (bl+1,)
     bcolidx: np.ndarray     # (num_tiles,) column index per row-ordered block
     tile_of_csr: np.ndarray  # (num_tiles,) tile id per BCSR position
-    tiles: np.ndarray     # (num_tiles + 1, nb, nb) host values; device copy
-                          # is made by the numeric engine
+    # Scatter plan (tid, ri, cj, values): the dense tile store is built
+    # lazily from this — on device directly (O(nnz) transfer) or on
+    # host for tests/export.
+    scatter_plan: tuple = None
+    dtype: object = None
     _lookup: np.ndarray | None = None  # dense (bl, bl) -> tile id or -1
+    _host_tiles: np.ndarray | None = None
+
+    @property
+    def tiles(self) -> np.ndarray:
+        """Host-side dense tile store [num_tiles+1, nb, nb] (lazy)."""
+        if self._host_tiles is None:
+            tid, ri, cj, vals = self.scatter_plan
+            t = np.zeros((self.num_tiles + 1, self.nb, self.nb),
+                         dtype=self.dtype)
+            np.add.at(t, (tid, ri, cj), vals)
+            self._host_tiles = t
+        return self._host_tiles
+
+    def device_tiles(self):
+        """Build the tile store ON DEVICE from the O(nnz) scatter plan
+        (1000x less host->device traffic than shipping dense tiles)."""
+        import jax.numpy as jnp
+
+        tid, ri, cj, vals = self.scatter_plan
+        t = jnp.zeros((self.num_tiles + 1, self.nb, self.nb),
+                      dtype=self.dtype)
+        return t.at[jnp.asarray(tid), jnp.asarray(ri),
+                    jnp.asarray(cj)].add(jnp.asarray(vals))
 
     def tile_id(self, bi, bj):
         """Tile id of block (bi, bj), or -1 if not in the pattern."""
@@ -93,13 +119,16 @@ def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
     # row-major permutation of the csc entries = tile id per BCSR slot
     tile_of_csr = np.lexsort((cols, browidx))
 
-    tiles = np.zeros((num_tiles + 1, nb, nb), dtype=a.values.dtype)
-    # Vectorized scatter of all nnz.
+    # Scatter plan for all nnz (host-side indices only — the dense tile
+    # store itself is built ON DEVICE from these, so only O(nnz) bytes
+    # cross the host->device link, not O(num_tiles * nb^2); the
+    # reference ships packed sparse payloads over MPI for the same
+    # reason, pangulu_communication.c:404-661).
     coo = a.to_scipy().tocoo()
     bi = coo.row // nb
     bj = coo.col // nb
-    ri = coo.row % nb
-    cj = coo.col % nb
+    ri = (coo.row % nb).astype(np.int32)
+    cj = (coo.col % nb).astype(np.int32)
     if lookup is not None:
         tid = lookup[bi, bj]
     else:
@@ -111,11 +140,13 @@ def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
             tid[t] = lo + pos
     if np.any(tid < 0):
         raise AssertionError("A entry outside symbolic pattern")
-    np.add.at(tiles, (tid, ri, cj), coo.data)
+    tid = tid.astype(np.int32)
+    vals = np.asarray(coo.data)
 
     # Last diagonal block may pad past n: put ones on the padded
     # diagonal so its GETRF is exact (padding never contaminates the
-    # valid region — its L column and U row stay zero).
+    # valid region — its L column and U row stay zero).  Appended to
+    # the scatter plan so both host and device builds agree.
     rem = n % nb
     if rem:
         last_diag = lookup[bl - 1, bl - 1] if lookup is not None else None
@@ -123,8 +154,12 @@ def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
             lo, hi = bcolptr[bl - 1], bcolptr[bl]
             pos = np.searchsorted(browidx[lo:hi], bl - 1)
             last_diag = lo + pos
-        pad = np.arange(rem, nb)
-        tiles[last_diag, pad, pad] = 1.0
+        pad = np.arange(rem, nb, dtype=np.int32)
+        tid = np.concatenate([tid, np.full(len(pad), last_diag,
+                                           dtype=np.int32)])
+        ri = np.concatenate([ri, pad])
+        cj = np.concatenate([cj, pad])
+        vals = np.concatenate([vals, np.ones(len(pad), dtype=vals.dtype)])
 
     return BlockedMatrix(
         n=n, nb=nb, block_length=bl, num_tiles=num_tiles,
@@ -132,7 +167,9 @@ def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
         brownnzptr=csr.indptr.astype(np.int64),
         bcolidx=csr.indices.astype(np.int64),
         tile_of_csr=tile_of_csr,
-        tiles=tiles, _lookup=lookup,
+        scatter_plan=(tid, ri, cj, vals),
+        dtype=a.values.dtype,
+        _lookup=lookup,
     )
 
 

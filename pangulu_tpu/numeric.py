@@ -140,11 +140,19 @@ class LUFactorizer:
                  backend: KernelBackend | None = None,
                  perf: PerfCounters | None = None,
                  panel_solve: str = "inv",
-                 dispatch: str = "auto"):
+                 dispatch: str = "auto",
+                 precision: str = "highest"):
+        # 'highest' forces true-f32 MXU matmuls (bf16x6 passes).  JAX's
+        # DEFAULT truncates f32 matmul inputs to bf16 on TPU, which
+        # wrecks LU backward error (measured: refine-0 residual 2.5e-2
+        # vs 2.5e-6, refinement rate 0.35/round vs terminal) for ~23%
+        # speed.  Part of the jit trace context, so engines stay cached
+        # per precision.
+        self.precision = precision
         self.blocked = blocked
         self.schedule = schedule or build_schedule(blocked)
         self.backend = backend or get_backend(
-            "auto", nb=blocked.nb, dtype=blocked.tiles.dtype)
+            "auto", nb=blocked.nb, dtype=blocked.dtype)
         self.perf = perf or PerfCounters()
         if panel_solve not in ("inv", "trsm"):
             raise ValueError("panel_solve must be 'inv' or 'trsm'")
@@ -200,9 +208,10 @@ class LUFactorizer:
             # in the numeric phase) — and the transfer is async, so it
             # must complete before the numeric timer starts.
             with self.perf.phase("preprocess"):
-                tiles = device_sync(jnp.asarray(self.blocked.tiles))
+                tiles = device_sync(self.blocked.device_tiles())
         if self.dispatch in ("fused", "segmented"):
-            with self.perf.phase("numeric"):
+            ctx = jax.default_matmul_precision(self.precision)
+            with self.perf.phase("numeric"), ctx:
                 if self.dispatch == "fused":
                     tiles = _fused_factorize(self.backend, tiles,
                                              *self._fused_args)
@@ -219,7 +228,8 @@ class LUFactorizer:
             )
             return tiles
         use_inv = self.panel_solve == "inv"
-        with self.perf.phase("numeric"):
+        ctx = jax.default_matmul_precision(self.precision)
+        with self.perf.phase("numeric"), ctx:
             for (diag_idx, l_ids, u_ids, dst, lsel, usel) in self._prepared:
                 if use_inv:
                     tiles, linv, uinv = _diag_step(self.backend, tiles,

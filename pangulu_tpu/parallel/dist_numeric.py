@@ -79,7 +79,7 @@ def scatter_tiles(blocked: BlockedMatrix, layout: DistLayout) -> np.ndarray:
     """[p, q, lmax, nb, nb] host array in block-cyclic layout."""
     p, q, lmax = layout.p, layout.q, layout.lmax
     nb = blocked.nb
-    out = np.zeros((p, q, lmax, nb, nb), dtype=blocked.tiles.dtype)
+    out = np.zeros((p, q, lmax, nb, nb), dtype=blocked.dtype)
     out[layout.tile_owner_r, layout.tile_owner_c, layout.tile_slot] = \
         blocked.tiles[: blocked.num_tiles]
     return out
@@ -105,7 +105,7 @@ class DistributedLU:
         self.blocked = blocked
         self.schedule = schedule or build_schedule(blocked)
         self.backend = backend or get_backend(
-            "auto", nb=blocked.nb, dtype=blocked.tiles.dtype)
+            "auto", nb=blocked.nb, dtype=blocked.dtype)
         self.perf = perf or PerfCounters()
         if mesh is None:
             from pangulu_tpu.parallel.mesh import make_mesh
@@ -250,7 +250,8 @@ class DistributedLU:
             sharding = NamedSharding(self.mesh, P("gp", "gq"))
             dist_tiles = jax.device_put(host, sharding)
         t = self._levels
-        with self.perf.phase("numeric"):
+        ctx = jax.default_matmul_precision("highest")
+        with self.perf.phase("numeric"), ctx:
             dist_tiles = self._step(
                 dist_tiles, t["diag_slot"], t["l_slot"], t["l_mask"],
                 t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],

@@ -50,7 +50,7 @@ class DistributedTriangularSolver:
         self.mesh = mesh
         self.p, self.q = mesh.devices.shape
         self.backend = backend or get_backend(
-            "auto", nb=blocked.nb, dtype=blocked.tiles.dtype)
+            "auto", nb=blocked.nb, dtype=blocked.dtype)
         self.perf = perf or PerfCounters()
         self._tables = self._prepare()
         self._run = None
@@ -145,13 +145,14 @@ class DistributedTriangularSolver:
             self._nrhs = nrhs
         # additively sharded x: device (0,0) holds b, others zero.
         xh = np.zeros((self.p, self.q, bl + 1, nb, nrhs),
-                      dtype=self.blocked.tiles.dtype)
+                      dtype=self.blocked.dtype)
         flat = xh[0, 0, :bl].reshape(bl * nb, nrhs)
         flat[:n] = b
         sharding = NamedSharding(self.mesh, P("gp", "gq"))
         x = jax.device_put(xh, sharding)
         t = self._tables
-        with self.perf.phase("sptrsv"):
+        ctx = jax.default_matmul_precision("highest")
+        with self.perf.phase("sptrsv"), ctx:
             x = self._run(dist_tiles, x, t["diag_slot"], t["l_slot"],
                           t["l_rows"], t["uc_slot"], t["uc_rows"])
             x = device_sync(x)

@@ -81,11 +81,13 @@ class TriangularSolver:
     def __init__(self, blocked: BlockedMatrix, schedule: Schedule,
                  backend: KernelBackend | None = None,
                  perf: PerfCounters | None = None,
-                 dispatch: str = "fused"):
+                 dispatch: str = "fused",
+                 precision: str = "highest"):
+        self.precision = precision
         self.blocked = blocked
         self.schedule = schedule
         self.backend = backend or get_backend(
-            "auto", nb=blocked.nb, dtype=blocked.tiles.dtype)
+            "auto", nb=blocked.nb, dtype=blocked.dtype)
         self.perf = perf or PerfCounters()
         self.dispatch = dispatch
         if dispatch == "fused":
@@ -123,7 +125,7 @@ class TriangularSolver:
         if b.ndim == 1:
             b = b[:, None]
         nrhs = b.shape[1]
-        xb = np.zeros((bl + 1, nb, nrhs), dtype=self.blocked.tiles.dtype)
+        xb = np.zeros((bl + 1, nb, nrhs), dtype=self.blocked.dtype)
         flat = xb[:bl].reshape(bl * nb, nrhs)
         flat[: b.shape[0]] = b
         return jnp.asarray(xb)
@@ -141,12 +143,14 @@ class TriangularSolver:
         x = self.blockify_rhs(b)
         if self.dispatch == "fused":
             tiles = device_sync(jnp.asarray(tiles))
-            with self.perf.phase("sptrsv"):
+            ctx = jax.default_matmul_precision(self.precision)
+            with self.perf.phase("sptrsv"), ctx:
                 x = _fused_solve(self.backend, tiles, x, *self._fused_args)
                 x = device_sync(x)
             out = self.unblockify(x)
             return out[:, 0] if squeeze else out
-        with self.perf.phase("sptrsv"):
+        ctx = jax.default_matmul_precision(self.precision)
+        with self.perf.phase("sptrsv"), ctx:
             for (diag_idx, k, ids, rows) in self._lower_args:
                 x = _seg_solve(self.backend, tiles, x, (diag_idx, k), True)
                 if len(ids):
