@@ -31,6 +31,7 @@ from pangulu_tpu.api import (
     gstrf,
     gstrs,
     init,
+    update_values,
 )
 from pangulu_tpu.version import __version__
 
@@ -41,6 +42,7 @@ __all__ = [
     "gstrf",
     "gstrs",
     "gssv",
+    "update_values",
     "finalize",
     "__version__",
 ]

@@ -21,7 +21,8 @@ from typing import Optional
 import numpy as np
 import scipy.sparse as sp
 
-from pangulu_tpu.blocks import BlockedMatrix, gather_factor, tile_matrix
+from pangulu_tpu.blocks import (BlockedMatrix, gather_factor, refill_values,
+                                tile_matrix)
 from pangulu_tpu.numeric import LUFactorizer
 from pangulu_tpu.ops.interface import get_backend
 from pangulu_tpu.reorder import Reordering, reorder
@@ -137,11 +138,22 @@ def gstrf(handle: Handle) -> None:
     if handle.opts.mesh_shape is not None:
         from pangulu_tpu.parallel.dist_numeric import DistributedLU
 
+        if handle.opts.mesh_shape == "auto":
+            # 2D grid over ALL devices (the whole pod slice in a
+            # multi-host job), by the reference's p*q rule.
+            import jax as _jax
+
+            from pangulu_tpu.parallel.mesh import grid_shape
+
+            handle.opts.mesh_shape = grid_shape(len(_jax.devices()))
         dist = DistributedLU(handle.blocked, handle.schedule,
                              handle.opts.mesh_shape, backend=backend,
                              perf=handle.perf)
         handle._dist = dist
-        handle.factor_tiles = dist.factorize()
+        gathered = dist.factorize()
+        # multi-host: no global gather — solves read the sharded tiles
+        handle.factor_tiles = (gathered if gathered is not None
+                               else dist.dist_tiles)
     else:
         handle._factorizer = LUFactorizer(
             handle.blocked, handle.schedule, backend=backend,
@@ -152,6 +164,11 @@ def gstrf(handle: Handle) -> None:
         log.info("profiler trace written to %s", handle.opts.profile_dir)
     log.info(handle.perf.summary())
     if handle.opts.check:
+        if (handle._dist is not None
+                and not handle._dist.dist_tiles.is_fully_addressable):
+            log.warning("gstrf check skipped: factors are sharded over "
+                        "a multi-host mesh")
+            return
         lmat, umat = gather_factor(handle.blocked,
                                    np.asarray(handle.factor_tiles))
         from pangulu_tpu.utils.perf import factorization_residual
@@ -228,6 +245,43 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
             b_in.dtype, np.floating) or np.issubdtype(
             b_in.dtype, np.complexfloating) else x64
     return x.astype(b_in.dtype) if b_in.dtype.kind in "fc" else x
+
+
+def update_values(handle: Handle, a_new) -> None:
+    """Refactorization fast path: replace the matrix VALUES while
+    keeping its sparsity pattern, reusing the reordering, symbolic
+    analysis, tiling and schedule.  Call :func:`gstrf` afterwards to
+    factor the new values.
+
+    The reference has no equivalent — a new matrix requires
+    finalize+init (README.md:125), repeating the entire O(fill) setup.
+    Here the update is O(nnz).  The MC64 scaling and permutations are
+    those of the ORIGINAL matrix (standard refactorize semantics:
+    fastest, and stable while the new values are not wildly different;
+    re-run :func:`init` when they are).
+    """
+    dtype = handle.opts.resolve_dtype()
+    if not isinstance(a_new, CscMatrix):
+        a_new = CscMatrix.from_scipy(sp.csc_matrix(a_new))
+    a_new = a_new.astype(dtype)
+    handle.a_origin = a_new.to_scipy().copy()
+    a_new = add_diagonal_elements(a_new)
+    with handle.perf.phase("update_values"):
+        a3 = handle.reordering.transform_matrix(a_new)
+        ref = handle.reordering.reordered
+        if a3.nnz != ref.nnz or not (
+                np.array_equal(a3.colptr, ref.colptr)
+                and np.array_equal(a3.rowidx, ref.rowidx)):
+            raise ValueError(
+                "update_values requires the same sparsity pattern; "
+                "call init() for a structurally different matrix")
+        handle.reordering.reordered = a3
+        refill_values(handle.blocked, a3)
+    # Invalidate numeric state; analysis artifacts are reused.
+    handle.factor_tiles = None
+    handle._factorizer = None
+    if handle._dist is not None:
+        handle._dist = None  # rebuilt (with reused jit cache) on gstrf
 
 
 def gssv(handle: Handle, b: np.ndarray) -> np.ndarray:

@@ -173,6 +173,29 @@ def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
     )
 
 
+def refill_values(blocked: BlockedMatrix, a: CscMatrix) -> None:
+    """Replace the numeric values of a tiled matrix IN PLACE with those
+    of a same-pattern matrix ``a`` (already reordered).  This is the
+    refactorization fast path: symbolic pattern, schedule and index
+    maps are all reused; only the O(nnz) value vector changes.
+
+    The reference has no equivalent — it requires finalize+init for a
+    new matrix (README.md:125); factor-many with one symbolic analysis
+    is the standard direct-solver feature this adds.
+    """
+    tid, ri, cj, vals = blocked.scatter_plan
+    coo = a.to_scipy().tocoo()
+    new_vals = np.asarray(coo.data)
+    n_pad = len(vals) - len(new_vals)
+    if n_pad < 0:
+        raise ValueError("matrix pattern differs from the tiled pattern")
+    if n_pad:
+        new_vals = np.concatenate(
+            [new_vals, np.ones(n_pad, dtype=new_vals.dtype)])
+    blocked.scatter_plan = (tid, ri, cj, new_vals.astype(blocked.dtype))
+    blocked._host_tiles = None
+
+
 def gather_factor(blocked: BlockedMatrix, tiles_np: np.ndarray):
     """Reassemble (L, U) scipy matrices from factored tiles (testing /
     export).  L has unit diagonal; U includes the diagonal."""

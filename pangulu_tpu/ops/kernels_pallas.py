@@ -83,10 +83,14 @@ def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
     lmat = jnp.where(lower, f, jnp.zeros((), dt)) + eye
     x = 2 * eye - lmat
 
+    # Mosaic only lowers DEFAULT/HIGHEST dot precision — pin HIGHEST so
+    # an ambient jax.default_matmul_precision("high") context (legal
+    # for the XLA-level panel/Schur matmuls) can't leak into the kernel.
+    _dot = functools.partial(jnp.dot, preferred_element_type=dt,
+                             precision=lax.Precision.HIGHEST)
+
     def newton_l(_, x):
-        return jnp.dot(x, 2 * eye - jnp.dot(lmat, x,
-                                            preferred_element_type=dt),
-                       preferred_element_type=dt)
+        return _dot(x, 2 * eye - _dot(lmat, x))
 
     linv_ref[:] = lax.fori_loop(0, steps, newton_l, x)
 
@@ -101,9 +105,7 @@ def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
     y = 2 * eye - umat
 
     def newton_u(_, y):
-        return jnp.dot(y, 2 * eye - jnp.dot(umat, y,
-                                            preferred_element_type=dt),
-                       preferred_element_type=dt)
+        return _dot(y, 2 * eye - _dot(umat, y))
 
     y = lax.fori_loop(0, steps, newton_u, y)
     uinv_ref[:] = y * dinv_row

@@ -85,6 +85,22 @@ def scatter_tiles(blocked: BlockedMatrix, layout: DistLayout) -> np.ndarray:
     return out
 
 
+def scatter_tiles_shard(blocked: BlockedMatrix, layout: DistLayout,
+                        r: int, c: int) -> np.ndarray:
+    """One device's [1, 1, lmax, nb, nb] shard, built directly from the
+    O(nnz) scatter plan — no host materialization of other devices'
+    tiles (multi-host path: each process builds only its own shards,
+    replacing the reference's rank-0 Isend scatter,
+    pangulu_communication.c:227-761)."""
+    tid, ri, cj, vals = blocked.scatter_plan
+    sel = (layout.tile_owner_r[tid] == r) & (layout.tile_owner_c[tid] == c)
+    out = np.zeros((layout.lmax, blocked.nb, blocked.nb),
+                   dtype=blocked.dtype)
+    np.add.at(out, (layout.tile_slot[tid[sel]], ri[sel], cj[sel]),
+              vals[sel])
+    return out[None, None]
+
+
 def gather_tiles(blocked: BlockedMatrix, layout: DistLayout,
                  dist_tiles) -> np.ndarray:
     """Sharded [p,q,lmax,nb,nb] -> global [num_tiles+1, nb, nb]."""
@@ -114,8 +130,20 @@ class DistributedLU:
         self.mesh = mesh
         self.p, self.q = mesh.devices.shape
         self.layout = build_layout(blocked, self.p, self.q)
-        self._levels = self._prepare_levels()
+        self._levels = self._put_tables(self._prepare_levels())
         self._step = self._build_step()
+
+    def _put_tables(self, tables: dict) -> dict:
+        """Ship the [p, q, ...] index tables to their owning devices
+        (multi-host safe: each process materializes only its shards)."""
+        from pangulu_tpu.parallel.multihost import put_grid_sharded
+
+        return {
+            k: put_grid_sharded(
+                self.mesh, v.shape,
+                lambda r, c, v=v: v[r:r + 1, c:c + 1])
+            for k, v in tables.items()
+        }
 
     # ---- host-side per-level index tables ------------------------------
 
@@ -246,9 +274,17 @@ class DistributedLU:
 
     def factorize(self, dist_tiles=None):
         if dist_tiles is None:
-            host = scatter_tiles(self.blocked, self.layout)
-            sharding = NamedSharding(self.mesh, P("gp", "gq"))
-            dist_tiles = jax.device_put(host, sharding)
+            from pangulu_tpu.parallel.multihost import put_grid_sharded
+
+            # Each process builds ONLY its addressable shards (works
+            # identically single-host and on a multi-host pod slice).
+            shape = (self.p, self.q, self.layout.lmax,
+                     self.blocked.nb, self.blocked.nb)
+            with self.perf.phase("preprocess"):
+                dist_tiles = put_grid_sharded(
+                    self.mesh, shape,
+                    lambda r, c: scatter_tiles_shard(
+                        self.blocked, self.layout, r, c))
         t = self._levels
         ctx = jax.default_matmul_precision("highest")
         with self.perf.phase("numeric"), ctx:
@@ -259,4 +295,8 @@ class DistributedLU:
             dist_tiles = device_sync(dist_tiles)
         self.perf.add_flops(self.schedule.flop_estimate())
         self.dist_tiles = dist_tiles
+        if not dist_tiles.is_fully_addressable:
+            # multi-host: the global gather is neither possible nor
+            # needed — solves read the sharded tiles directly.
+            return None
         return gather_tiles(self.blocked, self.layout, dist_tiles)

@@ -55,6 +55,7 @@ class DistributedTriangularSolver:
         self._tables = self._prepare()
         self._run = None
         self._nrhs = None
+        self._sum = None
 
     def _prepare(self):
         lay, p, q = self.layout, self.p, self.q
@@ -82,8 +83,13 @@ class DistributedTriangularSolver:
                 r, c = lay.tile_owner_r[tid], lay.tile_owner_c[tid]
                 uc_slot[r, c, k, t] = lay.tile_slot[tid]
                 uc_rows[r, c, k, t] = bi
-        return dict(diag_slot=diag_slot, l_slot=l_slot, l_rows=l_rows,
-                    uc_slot=uc_slot, uc_rows=uc_rows)
+        from pangulu_tpu.parallel.multihost import put_grid_sharded
+
+        tables = dict(diag_slot=diag_slot, l_slot=l_slot, l_rows=l_rows,
+                      uc_slot=uc_slot, uc_rows=uc_rows)
+        return {k: put_grid_sharded(self.mesh, v.shape,
+                                    lambda r, c, v=v: v[r:r + 1, c:c + 1])
+                for k, v in tables.items()}
 
     def _build(self, nrhs: int):
         backend = self.backend
@@ -144,17 +150,28 @@ class DistributedTriangularSolver:
             self._run = self._build(nrhs)
             self._nrhs = nrhs
         # additively sharded x: device (0,0) holds b, others zero.
-        xh = np.zeros((self.p, self.q, bl + 1, nb, nrhs),
-                      dtype=self.blocked.dtype)
-        flat = xh[0, 0, :bl].reshape(bl * nb, nrhs)
-        flat[:n] = b
-        sharding = NamedSharding(self.mesh, P("gp", "gq"))
-        x = jax.device_put(xh, sharding)
+        from pangulu_tpu.parallel.multihost import put_grid_sharded
+
+        def x_shard(r, c):
+            sh = np.zeros((1, 1, bl + 1, nb, nrhs), dtype=self.blocked.dtype)
+            if r == 0 and c == 0:
+                sh[0, 0, :bl].reshape(bl * nb, nrhs)[:n] = b
+            return sh
+
+        x = put_grid_sharded(self.mesh,
+                             (self.p, self.q, bl + 1, nb, nrhs), x_shard)
         t = self._tables
         ctx = jax.default_matmul_precision("highest")
         with self.perf.phase("sptrsv"), ctx:
             x = self._run(dist_tiles, x, t["diag_slot"], t["l_slot"],
                           t["l_rows"], t["uc_slot"], t["uc_rows"])
-            x = device_sync(x)
-        out = np.asarray(x).sum(axis=(0, 1))[:bl].reshape(bl * nb, nrhs)[:n]
+            # reduce the additive shards ON DEVICE to a replicated x
+            # (multi-host safe: every process can read a replicated
+            # array; summing on host would need all shards local).
+            if self._sum is None:
+                self._sum = jax.jit(
+                    lambda v: v.sum(axis=(0, 1)),
+                    out_shardings=NamedSharding(self.mesh, P()))
+            xg = device_sync(self._sum(x))
+        out = np.asarray(xg)[:bl].reshape(bl * nb, nrhs)[:n]
         return out[:, 0] if squeeze else out

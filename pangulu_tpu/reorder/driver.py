@@ -46,6 +46,19 @@ class Reordering:
             return (scale * b)[self.perm]
         return (scale[:, None] * b)[self.perm]
 
+    def transform_matrix(self, a: CscMatrix) -> CscMatrix:
+        """Apply the SAME scaling + permutations to a new matrix:
+        A3 = P((Dr A Dc)[:, colperm])P^T.  Used by the refactorization
+        fast path (api.update_values) — for a same-pattern matrix the
+        result has the same pattern as :attr:`reordered`."""
+        s = a.to_scipy()
+        a1 = sp.diags(self.row_scale.astype(s.dtype)) @ s \
+            @ sp.diags(self.col_scale.astype(s.dtype))
+        a2 = sp.csc_matrix(a1)[:, self.colperm]
+        a3 = sp.csc_matrix(a2)[self.perm][:, self.perm]
+        a3.sort_indices()
+        return CscMatrix.from_scipy(a3)
+
     def transform_x(self, w: np.ndarray) -> np.ndarray:
         """solution of reordered system -> solution of original system
         (reference: pangulu_reorder_vector_x_tran)."""

@@ -1,0 +1,72 @@
+"""Refactorization (update_values) and factor checkpoint/resume."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pangulu_tpu.api import InitOptions, gstrf, gstrs, init, update_values
+from pangulu_tpu.io.checkpoint import load_factor, save_factor
+from pangulu_tpu.models import poisson2d, random_unsymmetric
+from pangulu_tpu.utils.perf import residual_norm
+
+
+def test_update_values_same_pattern():
+    a = random_unsymmetric(90, 0.06, seed=3)
+    h = init(a, InitOptions(nb=16, dtype="r64"))
+    b = a.to_scipy() @ np.ones(a.n)
+    gstrf(h)
+    x = gstrs(h, b)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10
+
+    # same pattern, new values
+    s2 = a.to_scipy().copy()
+    rng = np.random.default_rng(7)
+    s2.data = s2.data + 0.3 * rng.standard_normal(s2.nnz)
+    s2 = s2 + sp.identity(a.n, format="csc") * 3.0  # keep well-conditioned
+    # identity may add pattern entries -> rebuild with original pattern
+    mask = sp.csc_matrix(
+        (np.ones(a.nnz), a.rowidx, a.colptr), shape=(a.n, a.n))
+    s2 = s2.multiply(mask).tocsc()
+    update_values(h, s2)
+    gstrf(h)
+    b2 = s2 @ np.ones(a.n)
+    x2 = gstrs(h, b2)
+    assert residual_norm(s2, x2, b2) < 1e-10
+
+
+def test_update_values_rejects_new_pattern():
+    a = poisson2d(8)
+    h = init(a, InitOptions(nb=8, dtype="r64"))
+    gstrf(h)
+    s2 = a.to_scipy().copy().tolil()
+    s2[0, a.n - 1] = 5.0  # structural change
+    with pytest.raises(ValueError, match="same sparsity pattern"):
+        update_values(h, s2.tocsc())
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    a = random_unsymmetric(70, 0.08, seed=11)
+    h = init(a, InitOptions(nb=16, dtype="r64"))
+    gstrf(h)
+    b = a.to_scipy() @ np.arange(1.0, a.n + 1)
+    x_ref = gstrs(h, b)
+
+    path = tmp_path / "factor.npz"
+    save_factor(h, path)
+    h2 = load_factor(path)
+    x = gstrs(h2, b)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-12, atol=1e-12)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10
+
+    # the loaded handle supports refactorization too
+    update_values(h2, a.to_scipy() * 2.0)
+    gstrf(h2)
+    x3 = gstrs(h2, b)
+    assert residual_norm(a.to_scipy() * 2.0, x3, b) < 1e-10
+
+
+def test_checkpoint_requires_factor(tmp_path):
+    a = poisson2d(6)
+    h = init(a, InitOptions(nb=8, dtype="r64"))
+    with pytest.raises(RuntimeError, match="gstrf"):
+        save_factor(h, tmp_path / "x.npz")
