@@ -17,7 +17,8 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="pangulu_tpu",
                                  description=__doc__)
-    ap.add_argument("-f", "--file", required=True, help=".mtx matrix file")
+    ap.add_argument("-f", "--file", default=None,
+                    help=".mtx matrix file (required unless --load-factor)")
     ap.add_argument("-nb", type=int, default=128, help="block size")
     ap.add_argument("-r", "--rhs", default=None,
                     help="rhs file (default: b = A @ ones)")
@@ -34,12 +35,27 @@ def main(argv=None):
                     help="run the gstrf residual check (reference "
                          "-DPANGULU_PERF)")
     ap.add_argument("--mesh", default=None,
-                    help="p,q mesh shape for multi-chip (e.g. 2,2)")
+                    help="p,q mesh shape for multi-chip (e.g. 2,2), or "
+                         "'auto' for a grid over all devices")
+    ap.add_argument("--refine", type=int, default=-1,
+                    help="iterative-refinement rounds in gstrs "
+                         "(-1 = auto: 2 for 32-bit types)")
+    ap.add_argument("--save-factor", default=None, metavar="PATH",
+                    help="write the factorization to PATH (.npz) after "
+                         "gstrf for later solve-only reuse")
+    ap.add_argument("--load-factor", default=None, metavar="PATH",
+                    help="skip init+gstrf; load a factor saved with "
+                         "--save-factor and go straight to gstrs")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of the numeric "
+                         "phase (viewable in XProf/TensorBoard)")
     ap.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"],
                     help="force a JAX platform (r64/cr64 run fastest on "
                          "cpu when no native-f64 accelerator is present)")
     args = ap.parse_args(argv)
+    if not args.file and not args.load_factor:
+        ap.error("either -f/--file or --load-factor is required")
 
     import jax
 
@@ -52,28 +68,39 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     from pangulu_tpu.api import InitOptions, finalize, gstrf, gstrs, init
+    from pangulu_tpu.io.checkpoint import load_factor, save_factor
     from pangulu_tpu.io.mmio import generated_rhs, read_matrix, read_rhs
-    from pangulu_tpu.sparse import VALUE_DTYPES
+    from pangulu_tpu.sparse import CscMatrix, VALUE_DTYPES
     from pangulu_tpu.utils import enable_compilation_cache
     from pangulu_tpu.utils.perf import device_memory_stats, host_rss_bytes, \
         residual_norm
 
     enable_compilation_cache()
     dtype = VALUE_DTYPES[args.dtype]
-    a = read_matrix(args.file, dtype=dtype)
-    b = (read_rhs(args.rhs, a.n, dtype) if args.rhs
-         else generated_rhs(a))
 
     mesh_shape = None
     if args.mesh:
-        mesh_shape = tuple(int(x) for x in args.mesh.split(","))
+        mesh_shape = ("auto" if args.mesh == "auto"
+                      else tuple(int(x) for x in args.mesh.split(",")))
 
-    opts = InitOptions(nb=args.nb, dtype=args.dtype, mc64=not args.no_mc64,
-                       ordering=args.ordering, symbolic_mode=args.symbolic,
-                       backend=args.backend, check=args.check,
-                       mesh_shape=mesh_shape)
-    handle = init(a, opts)
-    gstrf(handle)
+    if args.load_factor:
+        handle = load_factor(args.load_factor)
+        a = CscMatrix.from_scipy(handle.a_origin)
+    else:
+        a = read_matrix(args.file, dtype=dtype)
+        opts = InitOptions(nb=args.nb, dtype=args.dtype,
+                           mc64=not args.no_mc64,
+                           ordering=args.ordering,
+                           symbolic_mode=args.symbolic,
+                           backend=args.backend, check=args.check,
+                           mesh_shape=mesh_shape, refine=args.refine,
+                           profile_dir=args.profile_dir)
+        handle = init(a, opts)
+        gstrf(handle)
+        if args.save_factor:
+            save_factor(handle, args.save_factor)
+    b = (read_rhs(args.rhs, a.n, dtype) if args.rhs
+         else generated_rhs(a))
     x = gstrs(handle, b)
     res = residual_norm(a.to_scipy(), x, b)
     print(handle.perf.summary())

@@ -160,6 +160,8 @@ class LUFactorizer:
         if dispatch == "auto":
             if panel_solve != "inv":
                 dispatch = "levels"
+            elif self._mega_eligible():
+                dispatch = "mega"
             elif (self.schedule.fused_overhead()
                   <= self.FUSED_OVERHEAD_LIMIT):
                 dispatch = "fused"
@@ -169,7 +171,13 @@ class LUFactorizer:
         self._prepared = None
         self._fused_args = None
         self._segments = None
-        if dispatch == "fused":
+        self._mega = None
+        if dispatch == "mega":
+            self._mega = {
+                k: (v if isinstance(v, int) else jnp.asarray(v))
+                for k, v in self.schedule.mega_tables(
+                    self.blocked.num_tiles).items()}
+        elif dispatch == "fused":
             self._fused_args = tuple(
                 jnp.asarray(t) for t in
                 self.schedule.fused_tables(self.blocked.num_tiles))
@@ -180,6 +188,22 @@ class LUFactorizer:
                     self.blocked.num_tiles)]
         else:
             self._prepared = self._prepare_levels()
+
+    def _mega_eligible(self) -> bool:
+        """The single-launch Pallas mega-kernel handles f32 tiles with
+        nb=128 and panels within its VMEM budget; it is the fast path
+        on a real TPU (per-level pallas_call launch overhead is ~124us
+        — 83% of wall time on the bench problem)."""
+        if self.backend.name != "pallas":
+            return False
+        if jax.default_backend() != "tpu":
+            return False  # interpret-mode mega runs only when forced
+        from pangulu_tpu.ops.kernels_pallas import MEGA_MAX_PANEL
+
+        return (jnp.dtype(self.blocked.dtype) == jnp.float32
+                and self.blocked.nb == 128
+                and max(self.schedule.max_lpanel,
+                        self.schedule.max_upanel, 1) <= MEGA_MAX_PANEL)
 
     def _prepare_levels(self):
         """Host-side: bucket-pad every level's index arrays once."""
@@ -199,9 +223,16 @@ class LUFactorizer:
             ))
         return prepared
 
-    def factorize(self, tiles=None):
+    def factorize(self, tiles=None, sync=True):
         """Run the factorization; returns factored tiles (device array,
-        L\\U packed per tile)."""
+        L\\U packed per tile).
+
+        ``sync=False`` skips the completion readback (a full tunnel
+        round trip, ~26 ms on this environment) — used by bench.py to
+        measure steady-state throughput over K chained runs with one
+        final sync.  The returned tiles are a valid async value either
+        way.
+        """
         if tiles is None:
             # H2D of the tile store counts as preprocessing (the
             # reference scatters blocks in pangulu_preprocessing, not
@@ -209,6 +240,30 @@ class LUFactorizer:
             # must complete before the numeric timer starts.
             with self.perf.phase("preprocess"):
                 tiles = device_sync(self.blocked.device_tiles())
+        if self.dispatch == "mega":
+            from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
+            from pangulu_tpu.ops.kernels_pallas import mega_factorize
+
+            t = self._mega
+            with self.perf.phase("numeric"):
+                tiles = mega_factorize(
+                    tiles, t["diag_tab"], t["nl_tab"], t["nu_tab"],
+                    t["nup_tab"], t["lid_tab"], t["uid_tab"],
+                    t["udst_tab"], t["udl_tab"], t["udu_tab"],
+                    nb=self.blocked.nb,
+                    tol=float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)]),
+                    bl=self.schedule.block_length,
+                    npan_l=t["npan_l"], npan_u=t["npan_u"])
+                if sync:
+                    tiles = device_sync(tiles)
+            self.perf.add_flops(self.schedule.flop_estimate())
+            self.perf.kernel_counts(
+                getrf=self.schedule.block_length,
+                tstrf=self.schedule.n_tstrf,
+                gessm=self.schedule.n_gessm,
+                ssssm=self.schedule.n_ssssm,
+            )
+            return tiles
         if self.dispatch in ("fused", "segmented"):
             ctx = jax.default_matmul_precision(self.precision)
             with self.perf.phase("numeric"), ctx:
@@ -218,7 +273,8 @@ class LUFactorizer:
                 else:
                     for seg in self._segments:
                         tiles = _fused_factorize(self.backend, tiles, *seg)
-                tiles = device_sync(tiles)
+                if sync:
+                    tiles = device_sync(tiles)
             self.perf.add_flops(self.schedule.flop_estimate())
             self.perf.kernel_counts(
                 getrf=self.schedule.block_length,

@@ -34,6 +34,7 @@ class KernelBackend:
     trsv_lower_unit: Callable
     trsv_upper: Callable
     spmv_sub: Callable
+    vecadd: Callable
 
 
 _REGISTRY: dict[str, KernelBackend] = {}
@@ -59,6 +60,7 @@ def _jax_backend() -> KernelBackend:
         trsv_lower_unit=k.trsv_lower_unit,
         trsv_upper=k.trsv_upper,
         spmv_sub=k.spmv_sub,
+        vecadd=k.vecadd,
     )
 
 

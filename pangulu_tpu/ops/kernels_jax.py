@@ -255,4 +255,9 @@ def spmv_sub(y, a, x):
     return y - a @ x
 
 
+def vecadd(y, x):
+    """y += x (reference vecadd, pangulu_platform_0100000.c:455-464)."""
+    return y + x
+
+
 getrf_batched = jax.vmap(getrf, in_axes=(0,))

@@ -37,8 +37,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
-    dt = a_ref.dtype
+def _lu_inverses(a, *, nb, tol):
+    """Pure value-level body: unpivoted LU of one VMEM-resident tile +
+    exact Newton-doubling triangle inverses.  Shared by the standalone
+    diag kernel and the whole-factorization mega-kernel."""
+    dt = a.dtype
     rows = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     eye = jnp.where(
@@ -71,8 +74,7 @@ def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
         newcol = jnp.where(rows == k, safe, newcol)
         return jnp.where(cols_f == k, newcol, f)
 
-    f = lax.fori_loop(0, nb, lu_body, a_ref[:, :])
-    f_ref[:, :] = f
+    f = lax.fori_loop(0, nb, lu_body, a)
 
     # ---- Newton–Schulz doubling inverses (exact, MXU) ---------------
     steps = max((nb - 1).bit_length() - 1, 0)
@@ -92,7 +94,7 @@ def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
     def newton_l(_, x):
         return _dot(x, 2 * eye - _dot(lmat, x))
 
-    linv_ref[:] = lax.fori_loop(0, steps, newton_l, x)
+    linv = lax.fori_loop(0, steps, newton_l, x)
 
     dvec = jnp.sum(jnp.where(
         lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
@@ -108,7 +110,14 @@ def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
         return _dot(y, 2 * eye - _dot(umat, y))
 
     y = lax.fori_loop(0, steps, newton_u, y)
-    uinv_ref[:] = y * dinv_row
+    return f, linv, y * dinv_row
+
+
+def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
+    f, linv, uinv = _lu_inverses(a_ref[:, :], nb=nb, tol=tol)
+    f_ref[:, :] = f
+    linv_ref[:, :] = linv
+    uinv_ref[:, :] = uinv
 
 
 @functools.partial(jax.jit, static_argnames=("tol",))
@@ -140,6 +149,265 @@ def getrf(a, tol=None):
     return getrf_with_inverses(a, tol)[0]
 
 
+# ---------------------------------------------------------------------------
+# Whole-factorization mega-kernel
+# ---------------------------------------------------------------------------
+#
+# Measured on the bench problem (poisson3d(32), nb=128, 256 levels), a
+# per-level pallas_call costs ~124 us of pure launch overhead — 83% of
+# the factorization wall time.  The mega-kernel eliminates it: ONE
+# pallas_call runs the whole elimination loop.  Tiles stay in HBM; per
+# level the kernel manually DMAs the diagonal tile, the L/U panel tiles
+# and the Schur destination tiles through VMEM, computes LU + triangle
+# inverses + panel solves + batched Schur updates in-core, and DMAs
+# results back.  Per-level task counts come from SMEM-prefetched tables
+# so only real work issues DMAs (the reference's per-task dynamism,
+# recovered inside a single static kernel).
+
+_UCH = 64  # Schur-update chunk: dstbuf VMEM = _UCH * nb^2 * 4B (4 MB @128)
+
+
+def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
+                 udst_hbm, udl_hbm, udu_hbm, tiles_in, tiles_out,
+                 fbuf, linv_b, uinv_b, lpan, upan, prodrow, dstbuf,
+                 udst_s, udl_s, udu_s,
+                 sem_diag, sem_l, sem_u, sem_lo, sem_uo, sem_di, sem_do,
+                 sem_tab, *, nb, tol, bl):
+    dt = tiles_out.dtype
+    hi = lax.Precision.HIGHEST
+
+    def level(k, carry):
+        dix = diag_tab[k]
+        # ---- diagonal step -------------------------------------------
+        cin = pltpu.make_async_copy(tiles_out.at[dix], fbuf,
+                                    sem_diag.at[0])
+        cin.start()
+        # panel loads overlap the diag DMA
+        nl = nl_tab[k]
+        nu = nu_tab[k]
+        nup = nup_tab[k]
+
+        def l_in(i, c):
+            pltpu.make_async_copy(
+                tiles_out.at[lid_tab[k, i]],
+                lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
+                sem_l.at[i]).start()
+            return c
+
+        lax.fori_loop(0, nl, l_in, 0)
+
+        def u_in(i, c):
+            pltpu.make_async_copy(
+                tiles_out.at[uid_tab[k, i]],
+                upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
+                sem_u.at[i]).start()
+            return c
+
+        lax.fori_loop(0, nu, u_in, 0)
+
+        cin.wait()
+        f, li_m, ui_m = _lu_inverses(fbuf[:, :], nb=nb, tol=tol)
+        fbuf[:, :] = f
+        linv_b[:, :] = li_m
+        uinv_b[:, :] = ui_m
+        cdo = pltpu.make_async_copy(fbuf, tiles_out.at[dix],
+                                    sem_diag.at[1])
+        cdo.start()
+
+        # ---- panel solves as MXU matmuls ------------------------------
+        def l_wait(i, c):
+            pltpu.make_async_copy(
+                tiles_out.at[lid_tab[k, i]],
+                lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
+                sem_l.at[i]).wait()
+            return c
+
+        lax.fori_loop(0, nl, l_wait, 0)
+        # L panel: one flat matmul over all (padded rows are garbage
+        # that is never written back)
+        lpan[:, :] = jnp.dot(lpan[:, :], uinv_b[:, :],
+                             preferred_element_type=dt, precision=hi)
+
+        def u_wait(i, c):
+            pltpu.make_async_copy(
+                tiles_out.at[uid_tab[k, i]],
+                upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
+                sem_u.at[i]).wait()
+            return c
+
+        lax.fori_loop(0, nu, u_wait, 0)
+
+        # U panel: one flat matmul (garbage in padded columns is never
+        # written back and never selected by a real update)
+        upan[:, :] = jnp.dot(linv_b[:, :], upan[:, :],
+                             preferred_element_type=dt, precision=hi)
+
+        def l_out(i, c):
+            pltpu.make_async_copy(
+                lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
+                tiles_out.at[lid_tab[k, i]], sem_lo.at[i]).start()
+            return c
+
+        lax.fori_loop(0, nl, l_out, 0)
+
+        def u_out(i, c):
+            pltpu.make_async_copy(
+                upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
+                tiles_out.at[uid_tab[k, i]], sem_uo.at[i]).start()
+            return c
+
+        lax.fori_loop(0, nu, u_out, 0)
+
+        # ---- Schur updates, chunks of _UCH ----------------------------
+        # dst tiles are disjoint from this level's diag/panel tiles and
+        # unique within the level, so the RMW traffic never races the
+        # panel writebacks above.
+        def chunk(c, cur_l):
+            base = c * _UCH
+            cnt = jnp.minimum(nup - base, _UCH)
+            for tab, dst_s, slot in ((udst_hbm, udst_s, 0),
+                                     (udl_hbm, udl_s, 1),
+                                     (udu_hbm, udu_s, 2)):
+                pltpu.make_async_copy(tab.at[k, c], dst_s,
+                                      sem_tab.at[slot]).start()
+            for tab, dst_s, slot in ((udst_hbm, udst_s, 0),
+                                     (udl_hbm, udl_s, 1),
+                                     (udu_hbm, udu_s, 2)):
+                pltpu.make_async_copy(tab.at[k, c], dst_s,
+                                      sem_tab.at[slot]).wait()
+
+            def d_in(j, cc):
+                pltpu.make_async_copy(tiles_out.at[udst_s[j]],
+                                      dstbuf.at[j], sem_di.at[j]).start()
+                return cc
+
+            lax.fori_loop(0, cnt, d_in, 0)
+
+            def d_compute(j, cur_l):
+                pltpu.make_async_copy(tiles_out.at[udst_s[j]],
+                                      dstbuf.at[j], sem_di.at[j]).wait()
+                li = udl_s[j]
+
+                @pl.when(li != cur_l)
+                def _():
+                    # one MXU dot yields this L block's products against
+                    # ALL U blocks; consecutive updates (sorted by l)
+                    # then reduce to VPU subtracts
+                    lsl = pl.ds(pl.multiple_of(li * nb, nb), nb)
+                    prodrow[:, :] = jnp.dot(
+                        lpan[lsl, :], upan[:, :],
+                        preferred_element_type=dt, precision=hi)
+
+                usl = pl.ds(pl.multiple_of(udu_s[j] * nb, nb), nb)
+                dstbuf[j] = dstbuf[j] - prodrow[:, usl]
+                pltpu.make_async_copy(dstbuf.at[j],
+                                      tiles_out.at[udst_s[j]],
+                                      sem_do.at[j]).start()
+                return li
+
+            cur_l = lax.fori_loop(0, cnt, d_compute, cur_l)
+
+            def d_wait(j, cc):
+                pltpu.make_async_copy(dstbuf.at[j],
+                                      tiles_out.at[udst_s[j]],
+                                      sem_do.at[j]).wait()
+                return cc
+
+            lax.fori_loop(0, cnt, d_wait, 0)
+            return cur_l
+
+        nchunks = lax.div(nup + jnp.int32(_UCH - 1), jnp.int32(_UCH))
+        lax.fori_loop(0, nchunks, chunk, jnp.int32(-1))
+
+        # ---- level barrier: all writebacks land before level k+1 reads
+        cdo.wait()
+
+        def lo_wait(i, c):
+            pltpu.make_async_copy(
+                lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
+                tiles_out.at[lid_tab[k, i]], sem_lo.at[i]).wait()
+            return c
+
+        lax.fori_loop(0, nl, lo_wait, 0)
+
+        def uo_wait(i, c):
+            pltpu.make_async_copy(
+                upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
+                tiles_out.at[uid_tab[k, i]], sem_uo.at[i]).wait()
+            return c
+
+        lax.fori_loop(0, nu, uo_wait, 0)
+        return carry
+
+    lax.fori_loop(0, bl, level, 0)
+
+
+# VMEM ceiling for the panel buffers: NL/NU beyond this fall back to
+# the XLA fused engine (chunked panels are a future extension).
+MEGA_MAX_PANEL = 32
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "tol", "bl", "npan_l", "npan_u"),
+                   donate_argnums=(0,))
+def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
+                   lid_tab, uid_tab, udst_tab, udl_tab, udu_tab,
+                   *, nb, tol, bl, npan_l, npan_u):
+    """Entire numeric factorization in ONE Pallas launch.
+
+    tiles: [num_tiles+1, nb, nb] (donated; factored in place).
+    Tables (host-precomputed from the level schedule, see
+    Schedule.mega_tables): diag/nl/nu/nup_tab [bl] int32; lid/uid_tab
+    [bl, NL/NU] int32; udst/udl/udu_tab [bl, nchunks, 128] int32 with
+    the first _UCH lanes of each row holding one update chunk.
+    """
+    dt = tiles.dtype
+    row_w = udst_tab.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # udst_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),   # udl_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),   # udu_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tiles
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((nb, nb), dt),               # fbuf
+            pltpu.VMEM((nb, nb), dt),               # linv
+            pltpu.VMEM((nb, nb), dt),               # uinv
+            pltpu.VMEM((npan_l * nb, nb), dt),      # lpan
+            pltpu.VMEM((nb, npan_u * nb), dt),      # upan (column blocks)
+            pltpu.VMEM((nb, npan_u * nb), dt),      # prodrow
+            pltpu.VMEM((_UCH, nb, nb), dt),         # dstbuf
+            pltpu.SMEM((row_w,), jnp.int32),        # udst_s
+            pltpu.SMEM((row_w,), jnp.int32),        # udl_s
+            pltpu.SMEM((row_w,), jnp.int32),        # udu_s
+            pltpu.SemaphoreType.DMA((2,)),          # sem_diag
+            pltpu.SemaphoreType.DMA((npan_l,)),     # sem_l
+            pltpu.SemaphoreType.DMA((npan_u,)),     # sem_u
+            pltpu.SemaphoreType.DMA((npan_l,)),     # sem_lo
+            pltpu.SemaphoreType.DMA((npan_u,)),     # sem_uo
+            pltpu.SemaphoreType.DMA((_UCH,)),       # sem_di
+            pltpu.SemaphoreType.DMA((_UCH,)),       # sem_do
+            pltpu.SemaphoreType.DMA((3,)),          # sem_tab
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl),
+        out_shape=jax.ShapeDtypeStruct(tiles.shape, dt),
+        grid_spec=grid_spec,
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=_interpret(),
+    )(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
+      udst_tab, udl_tab, udu_tab, tiles)
+
+
 def make_backend() -> KernelBackend:
     """Pallas backend: hand-written diag step, jnp for the rest (the
     batched panel/Schur matmuls already hit the MXU optimally through
@@ -157,4 +425,5 @@ def make_backend() -> KernelBackend:
         trsv_lower_unit=kj.trsv_lower_unit,
         trsv_upper=kj.trsv_upper,
         spmv_sub=kj.spmv_sub,
+        vecadd=kj.vecadd,
     )

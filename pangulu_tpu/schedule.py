@@ -170,6 +170,46 @@ class Schedule:
             out.append((diag_idx, l_ids, u_ids, upd_dst, upd_l, upd_u))
         return out
 
+    def mega_tables(self, scratch_tile: int, uch: int = 64):
+        """Index tables for the single-launch Pallas mega-kernel
+        (kernels_pallas.mega_factorize): per-level diag tile, REAL task
+        counts (the kernel loops dynamically — no padded DMAs or
+        compute), panel tile ids, and [dst, l, u] Schur-update rows
+        padded to a multiple of the kernel's chunk size ``uch``."""
+        bl = self.block_length
+        nl_pan = max(bucket(max(self.max_lpanel, 1)), 1)
+        nu_pan = max(bucket(max(self.max_upanel, 1)), 1)
+        nchunks = max(1, -(-max(self.max_updates, 1) // uch))
+        # rows are 128 lanes wide (Mosaic DMA slices must be
+        # lane-aligned); only the first ``uch`` entries of each are used
+        row_w = max(uch, 128)
+        diag = np.zeros(bl, dtype=np.int32)
+        nl = np.zeros(bl, dtype=np.int32)
+        nu = np.zeros(bl, dtype=np.int32)
+        nup = np.zeros(bl, dtype=np.int32)
+        lid = np.full((bl, nl_pan), scratch_tile, dtype=np.int32)
+        uid = np.full((bl, nu_pan), scratch_tile, dtype=np.int32)
+        udst = np.full((bl, nchunks, row_w), scratch_tile, dtype=np.int32)
+        udl = np.zeros((bl, nchunks, row_w), dtype=np.int32)
+        udu = np.zeros((bl, nchunks, row_w), dtype=np.int32)
+        for i, lev in enumerate(self.levels):
+            diag[i] = lev.diag
+            nl[i] = len(lev.lpanel)
+            nu[i] = len(lev.upanel)
+            nup[i] = len(lev.upd_dst)
+            lid[i, : nl[i]] = lev.lpanel
+            uid[i, : nu[i]] = lev.upanel
+            for c in range(0, nup[i], uch):
+                cc = c // uch
+                cnt = min(uch, nup[i] - c)
+                udst[i, cc, :cnt] = lev.upd_dst[c:c + cnt]
+                udl[i, cc, :cnt] = lev.upd_l[c:c + cnt]
+                udu[i, cc, :cnt] = lev.upd_u[c:c + cnt]
+        return dict(diag_tab=diag, nl_tab=nl, nu_tab=nu, nup_tab=nup,
+                    lid_tab=lid, uid_tab=uid,
+                    udst_tab=udst, udl_tab=udl, udu_tab=udu,
+                    npan_l=nl_pan, npan_u=nu_pan)
+
     def fused_overhead(self) -> float:
         """Padded-work / real-work ratio of the fused engine's Schur
         stage (the dominant cost); used to pick fused vs per-level

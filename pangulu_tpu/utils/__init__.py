@@ -10,11 +10,17 @@ def device_sync(x):
     timing and completion guarantees.  A one-element scalar readback
     creates a true host-visible dependency on the producing
     computation.  Returns ``x``.
+
+    NOTE: on a tunneled backend the readback itself costs a full
+    host<->device round trip (~26 ms measured here) regardless of
+    size.  Steady-state throughput must therefore be measured by
+    timing K chained runs with ONE final sync (see bench.py), not by
+    syncing every run.
     """
     import jax
-    import jax.numpy as jnp
 
-    jax.device_get(jnp.ravel(x)[:1])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    jax.device_get(leaf[(0,) * leaf.ndim])
     return x
 
 

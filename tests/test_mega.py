@@ -1,0 +1,49 @@
+"""Single-launch Pallas mega-kernel engine (interpret mode on CPU;
+the driver benches the compiled path on the real chip)."""
+
+import numpy as np
+import pytest
+
+from pangulu_tpu.api import InitOptions, init
+from pangulu_tpu.blocks import gather_factor
+from pangulu_tpu.models import poisson2d, random_unsymmetric
+from pangulu_tpu.numeric import LUFactorizer
+from pangulu_tpu.ops.interface import get_backend
+from pangulu_tpu.utils.perf import factorization_residual
+
+
+@pytest.mark.parametrize("gen,kw,nb", [
+    (poisson2d, dict(nx=8), 16),
+    (random_unsymmetric, dict(n=96, density=0.06, seed=5), 16),
+])
+def test_mega_matches_fused(gen, kw, nb):
+    a = gen(**kw)
+    h = init(a, InitOptions(nb=nb, dtype="r32", ordering="rcm"))
+    bk = get_backend("pallas", nb=nb, dtype=h.blocked.dtype)
+    mega = LUFactorizer(h.blocked, h.schedule, backend=bk,
+                        dispatch="mega")
+    t_mega = np.asarray(mega.factorize())
+    fused = LUFactorizer(h.blocked, h.schedule,
+                         backend=get_backend("jax"), dispatch="fused")
+    t_fused = np.asarray(fused.factorize())
+    nt = h.blocked.num_tiles
+    np.testing.assert_allclose(t_mega[:nt], t_fused[:nt],
+                               rtol=1e-5, atol=1e-5)
+    lm, um = gather_factor(h.blocked, t_mega)
+    res = factorization_residual(h.reordering.reordered.to_scipy(), lm, um)
+    assert res < 1e-5
+
+
+def test_mega_tables_shapes():
+    a = poisson2d(8)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="rcm"))
+    t = h.schedule.mega_tables(h.blocked.num_tiles, uch=64)
+    bl = h.schedule.block_length
+    assert t["diag_tab"].shape == (bl,)
+    assert t["udst_tab"].shape[0] == bl
+    assert t["udst_tab"].shape[-1] >= 64  # lane-aligned rows
+    assert t["udst_tab"].shape == t["udl_tab"].shape == t["udu_tab"].shape
+    # real counts match the schedule
+    assert int(t["nup_tab"].sum()) == h.schedule.n_ssssm
+    assert int(t["nl_tab"].sum()) == h.schedule.n_tstrf
+    assert int(t["nu_tab"].sum()) == h.schedule.n_gessm
