@@ -217,9 +217,10 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
                 handle.blocked, handle.schedule, handle._dist.layout,
                 handle._dist.mesh, backend=backend, perf=handle.perf)
         else:
+            inv_tiles = getattr(handle._factorizer, "inv_tiles", None)
             handle._trisolver = TriangularSolver(
                 handle.blocked, handle.schedule, backend=backend,
-                perf=handle.perf)
+                perf=handle.perf, inv_tiles=inv_tiles)
     if refine is None:
         refine = handle.opts.refine
     if refine is None or refine < 0:  # auto

@@ -172,6 +172,7 @@ class LUFactorizer:
         self._fused_args = None
         self._segments = None
         self._mega = None
+        self.inv_tiles = None  # [bl, 2, nb, nb] after a mega factorize
         if dispatch == "mega":
             self._mega = {
                 k: (v if isinstance(v, int) else jnp.asarray(v))
@@ -246,7 +247,7 @@ class LUFactorizer:
 
             t = self._mega
             with self.perf.phase("numeric"):
-                tiles = mega_factorize(
+                tiles, self.inv_tiles = mega_factorize(
                     tiles, t["diag_tab"], t["nl_tab"], t["nu_tab"],
                     t["nup_tab"], t["lid_tab"], t["uid_tab"],
                     t["udst_tab"], t["udl_tab"], t["udu_tab"],

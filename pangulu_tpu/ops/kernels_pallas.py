@@ -169,10 +169,11 @@ _UCH = 64  # Schur-update chunk: dstbuf VMEM = _UCH * nb^2 * 4B (4 MB @128)
 
 def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
                  udst_hbm, udl_hbm, udu_hbm, tiles_in, tiles_out,
+                 invs_out,
                  fbuf, linv_b, uinv_b, lpan, upan, prodrow, dstbuf,
                  udst_s, udl_s, udu_s,
-                 sem_diag, sem_l, sem_u, sem_lo, sem_uo, sem_di, sem_do,
-                 sem_tab, *, nb, tol, bl):
+                 sem_diag, sem_inv, sem_l, sem_u, sem_lo, sem_uo, sem_di,
+                 sem_do, sem_tab, *, nb, tol, bl):
     dt = tiles_out.dtype
     hi = lax.Precision.HIGHEST
 
@@ -213,6 +214,14 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
         cdo = pltpu.make_async_copy(fbuf, tiles_out.at[dix],
                                     sem_diag.at[1])
         cdo.start()
+        # persist the triangle inverses: the solve mega-kernel turns
+        # every SpTRSV into pure matmuls against these
+        cli = pltpu.make_async_copy(linv_b, invs_out.at[k, 0],
+                                    sem_inv.at[0])
+        cli.start()
+        cui = pltpu.make_async_copy(uinv_b, invs_out.at[k, 1],
+                                    sem_inv.at[1])
+        cui.start()
 
         # ---- panel solves as MXU matmuls ------------------------------
         def l_wait(i, c):
@@ -321,6 +330,8 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
 
         # ---- level barrier: all writebacks land before level k+1 reads
         cdo.wait()
+        cli.wait()
+        cui.wait()
 
         def lo_wait(i, c):
             pltpu.make_async_copy(
@@ -372,7 +383,8 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pl.BlockSpec(memory_space=pltpu.ANY),   # udu_tab
             pl.BlockSpec(memory_space=pltpu.ANY),   # tiles
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
         scratch_shapes=[
             pltpu.VMEM((nb, nb), dt),               # fbuf
             pltpu.VMEM((nb, nb), dt),               # linv
@@ -385,6 +397,7 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.SMEM((row_w,), jnp.int32),        # udl_s
             pltpu.SMEM((row_w,), jnp.int32),        # udu_s
             pltpu.SemaphoreType.DMA((2,)),          # sem_diag
+            pltpu.SemaphoreType.DMA((2,)),          # sem_inv
             pltpu.SemaphoreType.DMA((npan_l,)),     # sem_l
             pltpu.SemaphoreType.DMA((npan_u,)),     # sem_u
             pltpu.SemaphoreType.DMA((npan_l,)),     # sem_lo
@@ -396,7 +409,8 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
     )
     return pl.pallas_call(
         functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl),
-        out_shape=jax.ShapeDtypeStruct(tiles.shape, dt),
+        out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
+                   jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
         grid_spec=grid_spec,
         input_output_aliases={9: 0},
         compiler_params=pltpu.CompilerParams(
@@ -406,6 +420,117 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
         interpret=_interpret(),
     )(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
       udst_tab, udl_tab, udu_tab, tiles)
+
+
+# ---------------------------------------------------------------------------
+# Whole-solve mega-kernel (SpTRSV)
+# ---------------------------------------------------------------------------
+#
+# Counterpart of pangulu_sptrsv.c re-expressed for one core: the entire
+# forward+backward blocked substitution in ONE pallas_call.  The
+# solution vector lives in VMEM for the whole solve (layout
+# [nrhs, bl+1, nb] so the lane dimension is nb); per level the kernel
+# DMAs the level's triangle INVERSE (persisted by mega_factorize) and
+# panel tiles from HBM, so every step is an MXU contraction — no
+# in-kernel substitution loops at all.
+
+
+def _mega_solve_kernel(nl_tab, nuc_tab, lid_tab, lrow_tab, ucid_tab,
+                       ucrow_tab, tiles_hbm, invs_hbm, x_in, x_out,
+                       invbuf, tbuf, sem_inv, sem_t, *, nb, bl, npan):
+    dt = x_out.dtype
+    hi = lax.Precision.HIGHEST
+    x_out[:, :, :] = x_in[:, :, :]
+
+    def phase(k, nseg_tab, id_tab, row_tab, inv_slot):
+        # fetch the triangle inverse for level k
+        ci = pltpu.make_async_copy(invs_hbm.at[k, inv_slot], invbuf,
+                                   sem_inv)
+        ci.start()
+        n = nseg_tab[k]
+
+        def t_in(i, c):
+            pltpu.make_async_copy(tiles_hbm.at[id_tab[k, i]],
+                                  tbuf.at[i], sem_t.at[i]).start()
+            return c
+
+        lax.fori_loop(0, n, t_in, 0)
+        ci.wait()
+        # xk = inv @ x[k]  — dot_general with x stored [nrhs, seg, nb]:
+        # out[r, i] = sum_j inv[i, j] * x[r, k, j]
+        xk = lax.dot_general(
+            x_out[:, k, :], invbuf[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dt, precision=hi)
+        x_out[:, k, :] = xk
+
+        def t_apply(i, c):
+            pltpu.make_async_copy(tiles_hbm.at[id_tab[k, i]],
+                                  tbuf.at[i], sem_t.at[i]).wait()
+            r = row_tab[k, i]
+            upd = lax.dot_general(
+                xk, tbuf[i],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dt, precision=hi)
+            x_out[:, r, :] = x_out[:, r, :] - upd
+            return c
+
+        lax.fori_loop(0, n, t_apply, 0)
+
+    def fwd(k, carry):
+        phase(k, nl_tab, lid_tab, lrow_tab, 0)
+        return carry
+
+    def bwd(i, carry):
+        phase(bl - 1 - i, nuc_tab, ucid_tab, ucrow_tab, 1)
+        return carry
+
+    lax.fori_loop(0, bl, fwd, 0)
+    lax.fori_loop(0, bl, bwd, 0)
+
+
+# VMEM budget gate for the in-VMEM solution vector.
+MEGA_SOLVE_MAX_X_BYTES = 8 * 2 ** 20
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "bl", "npan"))
+def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
+               ucid_tab, ucrow_tab, *, nb, bl, npan):
+    """Entire LUx = b solve in ONE Pallas launch.
+
+    x: [nrhs, bl+1, nb] (the +1 segment absorbs padded panel rows);
+    tiles: factored tile store; invs: [bl, 2, nb, nb] triangle inverses
+    persisted by :func:`mega_factorize`.  Returns the solved x.
+    """
+    dt = x.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # tiles
+            pl.BlockSpec(memory_space=pltpu.ANY),    # invs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nb, nb), dt),                # invbuf
+            pltpu.VMEM((npan, nb, nb), dt),          # tbuf
+            pltpu.SemaphoreType.DMA(()),             # sem_inv
+            pltpu.SemaphoreType.DMA((npan,)),        # sem_t
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mega_solve_kernel, nb=nb, bl=bl, npan=npan),
+        out_shape=jax.ShapeDtypeStruct(x.shape, dt),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=_interpret(),
+    )(nl_tab, nuc_tab, lid_tab, lrow_tab, ucid_tab, ucrow_tab,
+      tiles, invs, x)
 
 
 def make_backend() -> KernelBackend:

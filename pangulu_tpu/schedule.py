@@ -210,6 +210,33 @@ class Schedule:
                     udst_tab=udst, udl_tab=udl, udu_tab=udu,
                     npan_l=nl_pan, npan_u=nu_pan)
 
+    def mega_solve_tables(self, scratch_tile: int):
+        """Index tables for the single-launch Pallas SpTRSV
+        (kernels_pallas.mega_solve): per level, the L panel (column k
+        below the diagonal, forward pass) and the U column panel
+        (column k above the diagonal, backward pass) with their block
+        rows, plus REAL counts for dynamic in-kernel loops."""
+        bl = self.block_length
+        nl_pan = max(bucket(max(self.max_lpanel, 1)), 1)
+        nuc_max = max((len(l.ucolpanel) for l in self.levels), default=0)
+        nuc_pan = max(bucket(max(nuc_max, 1)), 1)
+        scratch_seg = bl  # x carries bl+1 segments
+        nl = np.zeros(bl, dtype=np.int32)
+        nuc = np.zeros(bl, dtype=np.int32)
+        lid = np.full((bl, nl_pan), scratch_tile, dtype=np.int32)
+        lrow = np.full((bl, nl_pan), scratch_seg, dtype=np.int32)
+        ucid = np.full((bl, nuc_pan), scratch_tile, dtype=np.int32)
+        ucrow = np.full((bl, nuc_pan), scratch_seg, dtype=np.int32)
+        for i, lev in enumerate(self.levels):
+            nl[i] = len(lev.lpanel)
+            nuc[i] = len(lev.ucolpanel)
+            lid[i, : nl[i]] = lev.lpanel
+            lrow[i, : nl[i]] = lev.lrows
+            ucid[i, : nuc[i]] = lev.ucolpanel
+            ucrow[i, : nuc[i]] = lev.ucolrows
+        return dict(nl_tab=nl, nuc_tab=nuc, lid_tab=lid, lrow_tab=lrow,
+                    ucid_tab=ucid, ucrow_tab=ucrow)
+
     def fused_overhead(self) -> float:
         """Padded-work / real-work ratio of the fused engine's Schur
         stage (the dominant cost); used to pick fused vs per-level

@@ -82,7 +82,8 @@ class TriangularSolver:
                  backend: KernelBackend | None = None,
                  perf: PerfCounters | None = None,
                  dispatch: str = "fused",
-                 precision: str = "highest"):
+                 precision: str = "highest",
+                 inv_tiles=None):
         self.precision = precision
         self.blocked = blocked
         self.schedule = schedule
@@ -90,6 +91,10 @@ class TriangularSolver:
             "auto", nb=blocked.nb, dtype=blocked.dtype)
         self.perf = perf or PerfCounters()
         self.dispatch = dispatch
+        # triangle inverses persisted by the Pallas mega factorization:
+        # enables the single-launch matmul-only solve kernel
+        self.inv_tiles = inv_tiles
+        self._mega_tables = None
         if dispatch == "fused":
             self._fused_args = tuple(
                 jnp.asarray(t) for t in self.schedule.fused_solve_tables(
@@ -136,10 +141,63 @@ class TriangularSolver:
         out = np.asarray(xb)[:bl].reshape(bl * nb, -1)[:n]
         return out
 
+    def _mega_eligible(self, nrhs: int) -> bool:
+        import jax as _jax
+
+        from pangulu_tpu.ops.kernels_pallas import (MEGA_MAX_PANEL,
+                                                    MEGA_SOLVE_MAX_X_BYTES)
+
+        if self.inv_tiles is None or self.backend.name != "pallas":
+            return False
+        if _jax.default_backend() != "tpu":
+            return False
+        bl, nb = self.schedule.block_length, self.schedule.nb
+        nuc = max((len(lv.ucolpanel) for lv in self.schedule.levels),
+                  default=0)
+        x_bytes = max(nrhs, 8) * (bl + 1) * nb * 4
+        return (jnp.dtype(self.blocked.dtype) == jnp.float32
+                and nb == 128
+                and max(self.schedule.max_lpanel, nuc, 1) <= MEGA_MAX_PANEL
+                and x_bytes <= MEGA_SOLVE_MAX_X_BYTES)
+
+    def _solve_mega(self, tiles, b: np.ndarray) -> np.ndarray:
+        """Single-launch Pallas solve against the persisted triangle
+        inverses (pure MXU contractions; no substitution loops)."""
+        from pangulu_tpu.ops.kernels_pallas import mega_solve
+        from pangulu_tpu.schedule import bucket
+
+        bl, nb = self.schedule.block_length, self.schedule.nb
+        b2 = np.asarray(b)
+        squeeze = b2.ndim == 1
+        if squeeze:
+            b2 = b2[:, None]
+        nrhs = b2.shape[1]
+        if self._mega_tables is None:
+            t = self.schedule.mega_solve_tables(self.blocked.num_tiles)
+            npan = max(bucket(max(int(t["nl_tab"].max(initial=0)),
+                                  int(t["nuc_tab"].max(initial=0)), 1)), 1)
+            self._mega_tables = (
+                {k: jnp.asarray(v) for k, v in t.items()}, npan)
+        t, npan = self._mega_tables
+        xh = np.zeros((nrhs, bl + 1, nb), dtype=self.blocked.dtype)
+        xh[:, :bl].reshape(nrhs, bl * nb)[:, : self.blocked.n] = b2.T
+        with self.perf.phase("sptrsv"):
+            x = mega_solve(jnp.asarray(xh), tiles, self.inv_tiles,
+                           t["nl_tab"], t["nuc_tab"], t["lid_tab"],
+                           t["lrow_tab"], t["ucid_tab"], t["ucrow_tab"],
+                           nb=nb, bl=bl, npan=npan)
+            x = device_sync(x)
+        out = np.asarray(x)[:, :bl].reshape(
+            nrhs, bl * nb)[:, : self.blocked.n].T
+        return out[:, 0] if squeeze else out
+
     def solve(self, tiles, b: np.ndarray) -> np.ndarray:
         """Solve LU x = b on the factored tiles.  Returns x with the
         same leading shape as b (pangulu_solve, pangulu_sptrsv.c:176)."""
         squeeze = np.asarray(b).ndim == 1
+        nrhs = 1 if squeeze else np.asarray(b).shape[1]
+        if self._mega_eligible(nrhs):
+            return self._solve_mega(tiles, b)
         x = self.blockify_rhs(b)
         if self.dispatch == "fused":
             tiles = device_sync(jnp.asarray(tiles))

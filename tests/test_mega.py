@@ -34,6 +34,29 @@ def test_mega_matches_fused(gen, kw, nb):
     assert res < 1e-5
 
 
+def test_mega_solve_matches_fused():
+    import jax.numpy as jnp
+
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a = poisson2d(8)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="rcm"))
+    bk = get_backend("pallas", nb=16, dtype=h.blocked.dtype)
+    fac = LUFactorizer(h.blocked, h.schedule, backend=bk, dispatch="mega")
+    tiles = fac.factorize()
+    assert fac.inv_tiles is not None
+    ts = TriangularSolver(h.blocked, h.schedule, backend=bk,
+                          inv_tiles=fac.inv_tiles)
+    b = (h.reordering.reordered.to_scipy()
+         @ np.ones(a.n, np.float32)).astype(np.float32)
+    x_mega = ts._solve_mega(jnp.asarray(tiles), b)
+    x_ref = ts.solve(tiles, b)  # XLA fused path (mega gated off on CPU)
+    np.testing.assert_allclose(x_mega, x_ref, rtol=1e-4, atol=1e-5)
+    B = np.stack([b, 2 * b], axis=1)
+    np.testing.assert_allclose(ts._solve_mega(jnp.asarray(tiles), B),
+                               ts.solve(tiles, B), rtol=1e-4, atol=1e-5)
+
+
 def test_mega_tables_shapes():
     a = poisson2d(8)
     h = init(a, InitOptions(nb=16, dtype="r32", ordering="rcm"))
