@@ -6,6 +6,18 @@ file: the fixture is generated programmatically.
     python examples/run_trefethen.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+# r64 path: run on the host CPU backend with x64 enabled (float64 on
+# this TPU is emulated; see CLAUDE.md / cli.py --platform)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 from pangulu_tpu import InitOptions, Solver
