@@ -16,14 +16,23 @@ from pangulu_tpu.sparse import CscMatrix
 
 
 def read_matrix(path, dtype=None) -> CscMatrix:
-    """Read a MatrixMarket ``.mtx`` file into CSC.
+    """Read a sparse matrix into CSC.
 
-    Symmetric / skew / hermitian storage is expanded to a full general
-    pattern (the reference does the same on read).  ``dtype`` optionally
-    casts values (pattern matrices get ones).
+    Formats: MatrixMarket ``.mtx`` (also ``.mtx.gz``; symmetric / skew
+    / hermitian storage expanded to full general pattern, like the
+    reference reader) and the binary ``.npz`` written by
+    :func:`write_matrix` (the counterpart of the reference's binary
+    ``.lid`` CSR fast path, examples/example.c:100-164).  ``dtype``
+    optionally casts values (pattern matrices get ones).
     """
-    a = scipy.io.mmread(str(path))
-    a = sp.csc_matrix(a)
+    path = str(path)
+    if path.endswith(".npz"):
+        z = np.load(path, allow_pickle=False)
+        n = int(z["shape"][0])
+        a = sp.csc_matrix((z["data"], z["indices"], z["indptr"]),
+                          shape=(n, int(z["shape"][1])))
+    else:
+        a = sp.csc_matrix(scipy.io.mmread(path))
     if dtype is not None:
         a = a.astype(dtype)
     a.sum_duplicates()
@@ -32,7 +41,16 @@ def read_matrix(path, dtype=None) -> CscMatrix:
 
 
 def write_matrix(path, a: CscMatrix) -> None:
-    scipy.io.mmwrite(str(path), a.to_scipy())
+    """Write ``.mtx`` (text) or ``.npz`` (binary CSC — loads orders of
+    magnitude faster for large matrices, like the reference's binary
+    ``.lid`` format)."""
+    path = str(path)
+    s = a.to_scipy()
+    if path.endswith(".npz"):
+        np.savez_compressed(path, indptr=s.indptr, indices=s.indices,
+                            data=s.data, shape=np.asarray(s.shape))
+    else:
+        scipy.io.mmwrite(path, s)
 
 
 def read_rhs(path, n: int, dtype) -> np.ndarray:

@@ -199,12 +199,10 @@ class LUFactorizer:
             return False
         if jax.default_backend() != "tpu":
             return False  # interpret-mode mega runs only when forced
-        from pangulu_tpu.ops.kernels_pallas import MEGA_MAX_PANEL
-
+        # panels of ANY width run in bounded VMEM (chunked); only the
+        # dtype/tile-shape gates remain
         return (jnp.dtype(self.blocked.dtype) == jnp.float32
-                and self.blocked.nb == 128
-                and max(self.schedule.max_lpanel,
-                        self.schedule.max_upanel, 1) <= MEGA_MAX_PANEL)
+                and self.blocked.nb == 128)
 
     def _prepare_levels(self):
         """Host-side: bucket-pad every level's index arrays once."""
@@ -253,8 +251,7 @@ class LUFactorizer:
                     t["udst_tab"], t["udl_tab"], t["udu_tab"],
                     nb=self.blocked.nb,
                     tol=float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)]),
-                    bl=self.schedule.block_length,
-                    npan_l=t["npan_l"], npan_u=t["npan_u"])
+                    bl=self.schedule.block_length, pch=t["pch"])
                 if sync:
                     tiles = device_sync(tiles)
             self.perf.add_flops(self.schedule.flop_estimate())

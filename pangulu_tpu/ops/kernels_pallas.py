@@ -173,39 +173,38 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
                  fbuf, linv_b, uinv_b, lpan, upan, prodrow, dstbuf,
                  udst_s, udl_s, udu_s,
                  sem_diag, sem_inv, sem_l, sem_u, sem_lo, sem_uo, sem_di,
-                 sem_do, sem_tab, *, nb, tol, bl):
+                 sem_do, sem_tab, *, nb, tol, bl, pch):
+    """One elimination level per fori iteration; panels processed in
+    chunks of ``pch`` tiles so arbitrarily wide levels (irregular
+    orderings) run in bounded VMEM.  Schur updates are sorted by
+    (u-chunk, l-chunk, l), so the U chunk / L chunk / L-row product are
+    each re-formed only when the corresponding key changes."""
     dt = tiles_out.dtype
     hi = lax.Precision.HIGHEST
+    i32 = jnp.int32
 
     def level(k, carry):
         dix = diag_tab[k]
-        # ---- diagonal step -------------------------------------------
-        cin = pltpu.make_async_copy(tiles_out.at[dix], fbuf,
-                                    sem_diag.at[0])
-        cin.start()
-        # panel loads overlap the diag DMA
         nl = nl_tab[k]
         nu = nu_tab[k]
         nup = nup_tab[k]
 
-        def l_in(i, c):
-            pltpu.make_async_copy(
-                tiles_out.at[lid_tab[k, i]],
-                lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
-                sem_l.at[i]).start()
-            return c
-
-        lax.fori_loop(0, nl, l_in, 0)
-
-        def u_in(i, c):
-            pltpu.make_async_copy(
-                tiles_out.at[uid_tab[k, i]],
-                upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
-                sem_u.at[i]).start()
-            return c
-
-        lax.fori_loop(0, nu, u_in, 0)
-
+        # ---- diagonal step -------------------------------------------
+        cin = pltpu.make_async_copy(tiles_out.at[dix], fbuf,
+                                    sem_diag.at[0])
+        cin.start()
+        # prefetch the FIRST panel chunks: they load while the diag DMA
+        # and the LU + inverse compute run
+        lax.fori_loop(0, jnp.minimum(nl, pch),
+                      lambda i, c: (pltpu.make_async_copy(
+                          tiles_out.at[lid_tab[k, i]],
+                          lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
+                          sem_l.at[i]).start(), c)[1], 0)
+        lax.fori_loop(0, jnp.minimum(nu, pch),
+                      lambda i, c: (pltpu.make_async_copy(
+                          tiles_out.at[uid_tab[k, i]],
+                          upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
+                          sem_u.at[i]).start(), c)[1], 0)
         cin.wait()
         f, li_m, ui_m = _lu_inverses(fbuf[:, :], nb=nb, tol=tol)
         fbuf[:, :] = f
@@ -223,55 +222,76 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
                                     sem_inv.at[1])
         cui.start()
 
-        # ---- panel solves as MXU matmuls ------------------------------
-        def l_wait(i, c):
-            pltpu.make_async_copy(
-                tiles_out.at[lid_tab[k, i]],
-                lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
-                sem_l.at[i]).wait()
+        # ---- panel solves, chunked ------------------------------------
+        def _l_copy(i, base, outward):
+            src = lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :]
+            dst = tiles_out.at[lid_tab[k, base + i]]
+            sem = (sem_lo if outward else sem_l).at[i]
+            return (pltpu.make_async_copy(src, dst, sem) if outward
+                    else pltpu.make_async_copy(dst, src, sem))
+
+        def l_chunk(lc, c):
+            base = lc * pch
+            cnt = jnp.minimum(nl - base, pch)
+
+            @pl.when(lc > 0)  # chunk 0 inputs are already in flight
+            def _():
+                lax.fori_loop(0, cnt,
+                              lambda i, c: (_l_copy(i, base, False).start(),
+                                            c)[1], 0)
+
+            lax.fori_loop(0, cnt,
+                          lambda i, c: (_l_copy(i, base, False).wait(), c)[1], 0)
+            # one flat matmul (garbage in padded rows never written back)
+            lpan[:, :] = jnp.dot(lpan[:, :], uinv_b[:, :],
+                                 preferred_element_type=dt, precision=hi)
+            lax.fori_loop(0, cnt,
+                          lambda i, c: (_l_copy(i, base, True).start(), c)[1], 0)
+            lax.fori_loop(0, cnt,
+                          lambda i, c: (_l_copy(i, base, True).wait(), c)[1], 0)
             return c
 
-        lax.fori_loop(0, nl, l_wait, 0)
-        # L panel: one flat matmul over all (padded rows are garbage
-        # that is never written back)
-        lpan[:, :] = jnp.dot(lpan[:, :], uinv_b[:, :],
-                             preferred_element_type=dt, precision=hi)
+        lax.fori_loop(0, lax.div(nl + i32(pch - 1), i32(pch)), l_chunk, 0)
 
-        def u_wait(i, c):
-            pltpu.make_async_copy(
-                tiles_out.at[uid_tab[k, i]],
-                upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
-                sem_u.at[i]).wait()
+        def _u_copy(i, base, outward):
+            src = upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)]
+            dst = tiles_out.at[uid_tab[k, base + i]]
+            sem = (sem_uo if outward else sem_u).at[i]
+            return (pltpu.make_async_copy(src, dst, sem) if outward
+                    else pltpu.make_async_copy(dst, src, sem))
+
+        def u_chunk(uc, c):
+            base = uc * pch
+            cnt = jnp.minimum(nu - base, pch)
+
+            @pl.when(uc > 0)  # chunk 0 inputs are already in flight
+            def _():
+                lax.fori_loop(0, cnt,
+                              lambda i, c: (_u_copy(i, base, False).start(),
+                                            c)[1], 0)
+
+            lax.fori_loop(0, cnt,
+                          lambda i, c: (_u_copy(i, base, False).wait(), c)[1], 0)
+            upan[:, :] = jnp.dot(linv_b[:, :], upan[:, :],
+                                 preferred_element_type=dt, precision=hi)
+            lax.fori_loop(0, cnt,
+                          lambda i, c: (_u_copy(i, base, True).start(), c)[1], 0)
+            lax.fori_loop(0, cnt,
+                          lambda i, c: (_u_copy(i, base, True).wait(), c)[1], 0)
             return c
 
-        lax.fori_loop(0, nu, u_wait, 0)
-
-        # U panel: one flat matmul (garbage in padded columns is never
-        # written back and never selected by a real update)
-        upan[:, :] = jnp.dot(linv_b[:, :], upan[:, :],
-                             preferred_element_type=dt, precision=hi)
-
-        def l_out(i, c):
-            pltpu.make_async_copy(
-                lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
-                tiles_out.at[lid_tab[k, i]], sem_lo.at[i]).start()
-            return c
-
-        lax.fori_loop(0, nl, l_out, 0)
-
-        def u_out(i, c):
-            pltpu.make_async_copy(
-                upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
-                tiles_out.at[uid_tab[k, i]], sem_uo.at[i]).start()
-            return c
-
-        lax.fori_loop(0, nu, u_out, 0)
+        nuc = lax.div(nu + i32(pch - 1), i32(pch))
+        lax.fori_loop(0, nuc, u_chunk, 0)
 
         # ---- Schur updates, chunks of _UCH ----------------------------
-        # dst tiles are disjoint from this level's diag/panel tiles and
-        # unique within the level, so the RMW traffic never races the
-        # panel writebacks above.
-        def chunk(c, cur_l):
+        # After phase 1 the LAST panel chunks are VMEM-resident; updates
+        # are sorted by (u-chunk, l-chunk, l), and dst tiles are
+        # disjoint from this level's diag/panel tiles and unique within
+        # the level, so RMW traffic never races the panel writebacks.
+        nlc = lax.div(nl + i32(pch - 1), i32(pch))
+        cur0 = (jnp.maximum(nuc - 1, 0), jnp.maximum(nlc - 1, 0), i32(-1))
+
+        def chunk(c, cur):
             base = c * _UCH
             cnt = jnp.minimum(nup - base, _UCH)
             for tab, dst_s, slot in ((udst_hbm, udst_s, 0),
@@ -292,29 +312,87 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
 
             lax.fori_loop(0, cnt, d_in, 0)
 
-            def d_compute(j, cur_l):
+            def d_compute(j, cur):
+                cur_uc, cur_lc, cur_l = cur
                 pltpu.make_async_copy(tiles_out.at[udst_s[j]],
                                       dstbuf.at[j], sem_di.at[j]).wait()
                 li = udl_s[j]
+                uj = udu_s[j]
+                ucj = lax.div(uj, i32(pch))
+                lcj = lax.div(li, i32(pch))
+                uc_ch = ucj != cur_uc
+                lc_ch = lcj != cur_lc
 
-                @pl.when(li != cur_l)
+                @pl.when(uc_ch)
                 def _():
-                    # one MXU dot yields this L block's products against
-                    # ALL U blocks; consecutive updates (sorted by l)
-                    # then reduce to VPU subtracts
-                    lsl = pl.ds(pl.multiple_of(li * nb, nb), nb)
+                    # reload the solved U chunk from HBM
+                    ub = ucj * pch
+                    ucnt = jnp.minimum(nu - ub, pch)
+
+                    def rin(i, c):
+                        pltpu.make_async_copy(
+                            tiles_out.at[uid_tab[k, ub + i]],
+                            upan.at[:, pl.ds(pl.multiple_of(i * nb, nb),
+                                             nb)],
+                            sem_u.at[i]).start()
+                        return c
+
+                    lax.fori_loop(0, ucnt, rin, 0)
+
+                    def rwait(i, c):
+                        pltpu.make_async_copy(
+                            tiles_out.at[uid_tab[k, ub + i]],
+                            upan.at[:, pl.ds(pl.multiple_of(i * nb, nb),
+                                             nb)],
+                            sem_u.at[i]).wait()
+                        return c
+
+                    lax.fori_loop(0, ucnt, rwait, 0)
+
+                @pl.when(lc_ch)
+                def _():
+                    lb = lcj * pch
+                    lcnt = jnp.minimum(nl - lb, pch)
+
+                    def rin(i, c):
+                        pltpu.make_async_copy(
+                            tiles_out.at[lid_tab[k, lb + i]],
+                            lpan.at[pl.ds(pl.multiple_of(i * nb, nb),
+                                          nb), :],
+                            sem_l.at[i]).start()
+                        return c
+
+                    lax.fori_loop(0, lcnt, rin, 0)
+
+                    def rwait(i, c):
+                        pltpu.make_async_copy(
+                            tiles_out.at[lid_tab[k, lb + i]],
+                            lpan.at[pl.ds(pl.multiple_of(i * nb, nb),
+                                          nb), :],
+                            sem_l.at[i]).wait()
+                        return c
+
+                    lax.fori_loop(0, lcnt, rwait, 0)
+
+                @pl.when((li != cur_l) | uc_ch | lc_ch)
+                def _():
+                    # one MXU dot: this L block against the whole
+                    # resident U chunk; consecutive updates sharing it
+                    # reduce to VPU subtracts
+                    lsl = pl.ds(pl.multiple_of((li - lcj * pch) * nb, nb),
+                                nb)
                     prodrow[:, :] = jnp.dot(
                         lpan[lsl, :], upan[:, :],
                         preferred_element_type=dt, precision=hi)
 
-                usl = pl.ds(pl.multiple_of(udu_s[j] * nb, nb), nb)
+                usl = pl.ds(pl.multiple_of((uj - ucj * pch) * nb, nb), nb)
                 dstbuf[j] = dstbuf[j] - prodrow[:, usl]
                 pltpu.make_async_copy(dstbuf.at[j],
                                       tiles_out.at[udst_s[j]],
                                       sem_do.at[j]).start()
-                return li
+                return (ucj, lcj, li)
 
-            cur_l = lax.fori_loop(0, cnt, d_compute, cur_l)
+            cur = lax.fori_loop(0, cnt, d_compute, cur)
 
             def d_wait(j, cc):
                 pltpu.make_async_copy(dstbuf.at[j],
@@ -323,31 +401,15 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
                 return cc
 
             lax.fori_loop(0, cnt, d_wait, 0)
-            return cur_l
+            return cur
 
-        nchunks = lax.div(nup + jnp.int32(_UCH - 1), jnp.int32(_UCH))
-        lax.fori_loop(0, nchunks, chunk, jnp.int32(-1))
+        nchunks = lax.div(nup + i32(_UCH - 1), i32(_UCH))
+        lax.fori_loop(0, nchunks, chunk, cur0)
 
-        # ---- level barrier: all writebacks land before level k+1 reads
+        # ---- level barrier ---------------------------------------------
         cdo.wait()
         cli.wait()
         cui.wait()
-
-        def lo_wait(i, c):
-            pltpu.make_async_copy(
-                lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
-                tiles_out.at[lid_tab[k, i]], sem_lo.at[i]).wait()
-            return c
-
-        lax.fori_loop(0, nl, lo_wait, 0)
-
-        def uo_wait(i, c):
-            pltpu.make_async_copy(
-                upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
-                tiles_out.at[uid_tab[k, i]], sem_uo.at[i]).wait()
-            return c
-
-        lax.fori_loop(0, nu, uo_wait, 0)
         return carry
 
     lax.fori_loop(0, bl, level, 0)
@@ -359,11 +421,11 @@ MEGA_MAX_PANEL = 32
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nb", "tol", "bl", "npan_l", "npan_u"),
+                   static_argnames=("nb", "tol", "bl", "pch"),
                    donate_argnums=(0,))
 def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
                    lid_tab, uid_tab, udst_tab, udl_tab, udu_tab,
-                   *, nb, tol, bl, npan_l, npan_u):
+                   *, nb, tol, bl, pch):
     """Entire numeric factorization in ONE Pallas launch.
 
     tiles: [num_tiles+1, nb, nb] (donated; factored in place).
@@ -389,26 +451,26 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.VMEM((nb, nb), dt),               # fbuf
             pltpu.VMEM((nb, nb), dt),               # linv
             pltpu.VMEM((nb, nb), dt),               # uinv
-            pltpu.VMEM((npan_l * nb, nb), dt),      # lpan
-            pltpu.VMEM((nb, npan_u * nb), dt),      # upan (column blocks)
-            pltpu.VMEM((nb, npan_u * nb), dt),      # prodrow
+            pltpu.VMEM((pch * nb, nb), dt),         # lpan (chunk)
+            pltpu.VMEM((nb, pch * nb), dt),         # upan (column chunk)
+            pltpu.VMEM((nb, pch * nb), dt),         # prodrow
             pltpu.VMEM((_UCH, nb, nb), dt),         # dstbuf
             pltpu.SMEM((row_w,), jnp.int32),        # udst_s
             pltpu.SMEM((row_w,), jnp.int32),        # udl_s
             pltpu.SMEM((row_w,), jnp.int32),        # udu_s
             pltpu.SemaphoreType.DMA((2,)),          # sem_diag
             pltpu.SemaphoreType.DMA((2,)),          # sem_inv
-            pltpu.SemaphoreType.DMA((npan_l,)),     # sem_l
-            pltpu.SemaphoreType.DMA((npan_u,)),     # sem_u
-            pltpu.SemaphoreType.DMA((npan_l,)),     # sem_lo
-            pltpu.SemaphoreType.DMA((npan_u,)),     # sem_uo
+            pltpu.SemaphoreType.DMA((pch,)),        # sem_l
+            pltpu.SemaphoreType.DMA((pch,)),        # sem_u
+            pltpu.SemaphoreType.DMA((pch,)),        # sem_lo
+            pltpu.SemaphoreType.DMA((pch,)),        # sem_uo
             pltpu.SemaphoreType.DMA((_UCH,)),       # sem_di
             pltpu.SemaphoreType.DMA((_UCH,)),       # sem_do
             pltpu.SemaphoreType.DMA((3,)),          # sem_tab
         ],
     )
     return pl.pallas_call(
-        functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl),
+        functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl, pch=pch),
         out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
                    jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
         grid_spec=grid_spec,
@@ -416,6 +478,9 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
+            # scratch exceeds the 16MB default scoped-vmem cap for wide
+            # panel chunks; the chip has much more
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
@@ -527,6 +592,9 @@ def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
+            # scratch exceeds the 16MB default scoped-vmem cap for wide
+            # panel chunks; the chip has much more
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(nl_tab, nuc_tab, lid_tab, lrow_tab, ucid_tab, ucrow_tab,

@@ -170,15 +170,22 @@ class Schedule:
             out.append((diag_idx, l_ids, u_ids, upd_dst, upd_l, upd_u))
         return out
 
-    def mega_tables(self, scratch_tile: int, uch: int = 64):
+    def mega_tables(self, scratch_tile: int, uch: int = 64,
+                    max_pch: int = 32):
         """Index tables for the single-launch Pallas mega-kernel
         (kernels_pallas.mega_factorize): per-level diag tile, REAL task
         counts (the kernel loops dynamically — no padded DMAs or
         compute), panel tile ids, and [dst, l, u] Schur-update rows
-        padded to a multiple of the kernel's chunk size ``uch``."""
+        padded to a multiple of the kernel's chunk size ``uch``.
+
+        Panels are processed in VMEM chunks of ``pch`` tiles; updates
+        are sorted per level by (u-chunk, l-chunk, l) so the kernel
+        re-forms each U chunk / L chunk / L-row product only when the
+        corresponding key changes."""
         bl = self.block_length
         nl_pan = max(bucket(max(self.max_lpanel, 1)), 1)
         nu_pan = max(bucket(max(self.max_upanel, 1)), 1)
+        pch = min(max(nl_pan, nu_pan), max_pch)
         nchunks = max(1, -(-max(self.max_updates, 1) // uch))
         # rows are 128 lanes wide (Mosaic DMA slices must be
         # lane-aligned); only the first ``uch`` entries of each are used
@@ -199,16 +206,21 @@ class Schedule:
             nup[i] = len(lev.upd_dst)
             lid[i, : nl[i]] = lev.lpanel
             uid[i, : nu[i]] = lev.upanel
+            order = np.lexsort((lev.upd_u, lev.upd_l,
+                                lev.upd_l // pch, lev.upd_u // pch))
+            s_dst = lev.upd_dst[order]
+            s_l = lev.upd_l[order]
+            s_u = lev.upd_u[order]
             for c in range(0, nup[i], uch):
                 cc = c // uch
                 cnt = min(uch, nup[i] - c)
-                udst[i, cc, :cnt] = lev.upd_dst[c:c + cnt]
-                udl[i, cc, :cnt] = lev.upd_l[c:c + cnt]
-                udu[i, cc, :cnt] = lev.upd_u[c:c + cnt]
+                udst[i, cc, :cnt] = s_dst[c:c + cnt]
+                udl[i, cc, :cnt] = s_l[c:c + cnt]
+                udu[i, cc, :cnt] = s_u[c:c + cnt]
         return dict(diag_tab=diag, nl_tab=nl, nu_tab=nu, nup_tab=nup,
                     lid_tab=lid, uid_tab=uid,
                     udst_tab=udst, udl_tab=udl, udu_tab=udu,
-                    npan_l=nl_pan, npan_u=nu_pan)
+                    npan_l=nl_pan, npan_u=nu_pan, pch=pch)
 
     def mega_solve_tables(self, scratch_tile: int):
         """Index tables for the single-launch Pallas SpTRSV

@@ -34,6 +34,32 @@ def test_mega_matches_fused(gen, kw, nb):
     assert res < 1e-5
 
 
+def test_mega_chunked_panels():
+    """Forced tiny panel chunk exercises the U/L chunk reload paths."""
+    import jax.numpy as jnp
+
+    from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
+    from pangulu_tpu.ops.kernels_pallas import mega_factorize
+
+    a = random_unsymmetric(96, 0.08, seed=5)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="mindeg"))
+    nt = h.blocked.num_tiles
+    ref = np.asarray(LUFactorizer(h.blocked, h.schedule,
+                                  backend=get_backend("jax"),
+                                  dispatch="fused").factorize())
+    t = {k: (v if isinstance(v, int) else jnp.asarray(v))
+         for k, v in h.schedule.mega_tables(nt, max_pch=2).items()}
+    assert t["pch"] == 2
+    tiles, invs = mega_factorize(
+        h.blocked.device_tiles(), t["diag_tab"], t["nl_tab"], t["nu_tab"],
+        t["nup_tab"], t["lid_tab"], t["uid_tab"], t["udst_tab"],
+        t["udl_tab"], t["udu_tab"],
+        nb=16, tol=float(DEFAULT_TOL[jnp.dtype(np.float32)]),
+        bl=h.schedule.block_length, pch=t["pch"])
+    np.testing.assert_allclose(np.asarray(tiles)[:nt], ref[:nt],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_mega_solve_matches_fused():
     import jax.numpy as jnp
 
