@@ -56,6 +56,9 @@ def _lu_inverses(a, *, nb, tol):
     rows_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     cols_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
 
+    # The rank-1 update leaves column k untouched (urow is masked to
+    # cols > k), so L columns accumulate UNSCALED — one whole-triangle
+    # scale at the end replaces three per-iteration writeback merges.
     def lu_body(k, f):
         rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
                        axis=0, keepdims=True)           # (1, nb)
@@ -69,12 +72,22 @@ def _lu_inverses(a, *, nb, tol):
         right = cols > k
         lcol = jnp.where(below, colv / safe, jnp.zeros((), dt))
         urow = jnp.where(right, rowv, jnp.zeros((), dt))
-        f = f - lcol * urow
-        newcol = jnp.where(below, lcol, colv)
-        newcol = jnp.where(rows == k, safe, newcol)
-        return jnp.where(cols_f == k, newcol, f)
+        return f - lcol * urow
 
     f = lax.fori_loop(0, nb, lu_body, a)
+    # finalize the packed factor: scale L columns by 1/pivot (with the
+    # reference's tiny-pivot substitution) and clamp the diagonal
+    lower_m = lax.broadcasted_iota(jnp.int32, (nb, nb), 0) > \
+        lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    dvec0 = jnp.sum(jnp.where(
+        lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
+        f, jnp.zeros((), dt)), axis=0, keepdims=True)   # (1, nb)
+    dsafe0 = jnp.where(jnp.abs(dvec0) < tol, jnp.asarray(tol, dt), dvec0)
+    f = jnp.where(lower_m, f * (1.0 / dsafe0), f)
+    f = jnp.where(lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+                  == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
+                  dsafe0, f)
 
     # ---- Newton–Schulz doubling inverses (exact, MXU) ---------------
     steps = max((nb - 1).bit_length() - 1, 0)
