@@ -154,11 +154,19 @@ class TriangularSolver:
         bl, nb = self.schedule.block_length, self.schedule.nb
         nuc = max((len(lv.ucolpanel) for lv in self.schedule.levels),
                   default=0)
-        x_bytes = max(nrhs, 8) * (bl + 1) * nb * 4
         return (jnp.dtype(self.blocked.dtype) == jnp.float32
                 and nb == 128
                 and max(self.schedule.max_lpanel, nuc, 1) <= MEGA_MAX_PANEL
-                and x_bytes <= MEGA_SOLVE_MAX_X_BYTES)
+                and self._mega_nrhs_max() >= 1)
+
+    def _mega_nrhs_max(self) -> int:
+        """Largest RHS batch whose x fits the solve kernel's VMEM
+        budget (larger batches are solved in chunks of this size)."""
+        from pangulu_tpu.ops.kernels_pallas import MEGA_SOLVE_MAX_X_BYTES
+
+        bl, nb = self.schedule.block_length, self.schedule.nb
+        per_rhs = (bl + 1) * nb * np.dtype(self.blocked.dtype).itemsize
+        return max(MEGA_SOLVE_MAX_X_BYTES // per_rhs, 0)
 
     def _solve_mega(self, tiles, b: np.ndarray) -> np.ndarray:
         """Single-launch Pallas solve against the persisted triangle
@@ -172,6 +180,13 @@ class TriangularSolver:
         if squeeze:
             b2 = b2[:, None]
         nrhs = b2.shape[1]
+        cap = self._mega_nrhs_max()
+        if nrhs > cap:
+            # solve wide RHS batches in VMEM-sized chunks
+            out = np.concatenate(
+                [self._solve_mega(tiles, b2[:, c:c + cap])
+                 for c in range(0, nrhs, cap)], axis=1)
+            return out[:, 0] if squeeze else out
         if self._mega_tables is None:
             t = self.schedule.mega_solve_tables(self.blocked.num_tiles)
             npan = max(bucket(max(int(t["nl_tab"].max(initial=0)),

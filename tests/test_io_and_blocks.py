@@ -84,3 +84,14 @@ def test_generated_rhs_is_row_sums():
     a = trefethen(20)
     b = generated_rhs(a)
     np.testing.assert_allclose(b, np.asarray(a.to_scipy().sum(axis=1)).ravel())
+
+
+def test_npz_matrix_roundtrip(tmp_path):
+    from pangulu_tpu.io.mmio import read_matrix, write_matrix
+    from pangulu_tpu.models import poisson2d
+
+    a = poisson2d(9)
+    p = tmp_path / "m.npz"
+    write_matrix(p, a)
+    b = read_matrix(p, dtype=a.values.dtype)
+    assert (a.to_scipy() != b.to_scipy()).nnz == 0

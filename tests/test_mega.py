@@ -83,6 +83,27 @@ def test_mega_solve_matches_fused():
                                ts.solve(tiles, B), rtol=1e-4, atol=1e-5)
 
 
+def test_mega_solve_rhs_chunking(monkeypatch):
+    import jax.numpy as jnp
+
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a = poisson2d(8)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="rcm"))
+    bk = get_backend("pallas", nb=16, dtype=h.blocked.dtype)
+    fac = LUFactorizer(h.blocked, h.schedule, backend=bk, dispatch="mega")
+    tiles = fac.factorize()
+    ts = TriangularSolver(h.blocked, h.schedule, backend=bk,
+                          inv_tiles=fac.inv_tiles)
+    b = (h.reordering.reordered.to_scipy()
+         @ np.ones(a.n, np.float32)).astype(np.float32)
+    B = np.stack([b * (i + 1) for i in range(5)], axis=1)
+    ref = ts.solve(tiles, B)
+    monkeypatch.setattr(ts, "_mega_nrhs_max", lambda: 2)  # force chunks
+    out = ts._solve_mega(jnp.asarray(tiles), B)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_mega_tables_shapes():
     a = poisson2d(8)
     h = init(a, InitOptions(nb=16, dtype="r32", ordering="rcm"))
