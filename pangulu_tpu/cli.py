@@ -11,9 +11,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="pangulu_tpu",
                                  description=__doc__)

@@ -24,8 +24,6 @@ kernels (:mod:`pangulu_tpu.ops.kernels_pallas`) are tested against.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

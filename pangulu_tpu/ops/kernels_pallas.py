@@ -180,11 +180,11 @@ def getrf(a, tol=None):
 _UCH = 64  # Schur-update chunk: dstbuf VMEM = _UCH * nb^2 * 4B (4 MB @128)
 
 
-def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
+def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                  udst_hbm, udl_hbm, udu_hbm, tiles_in, tiles_out,
                  invs_out,
                  fbuf, linv_b, uinv_b, lpan, upan, prodrow, dstbuf,
-                 udst_s, udl_s, udu_s,
+                 lid_s, uid_s, udst_s, udl_s, udu_s,
                  sem_diag, sem_inv, sem_l, sem_u, sem_lo, sem_uo, sem_di,
                  sem_do, sem_tab, *, nb, tol, bl, pch):
     """One elimination level per fori iteration; panels processed in
@@ -201,6 +201,14 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
         nl = nl_tab[k]
         nu = nu_tab[k]
         nup = nup_tab[k]
+        # panel-id rows for this level: HBM -> SMEM (the full tables
+        # exceed SMEM for large block counts)
+        cl = pltpu.make_async_copy(lid_hbm.at[k], lid_s, sem_tab.at[0])
+        cu = pltpu.make_async_copy(uid_hbm.at[k], uid_s, sem_tab.at[1])
+        cl.start()
+        cu.start()
+        cl.wait()
+        cu.wait()
 
         # ---- diagonal step -------------------------------------------
         cin = pltpu.make_async_copy(tiles_out.at[dix], fbuf,
@@ -210,12 +218,12 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
         # and the LU + inverse compute run
         lax.fori_loop(0, jnp.minimum(nl, pch),
                       lambda i, c: (pltpu.make_async_copy(
-                          tiles_out.at[lid_tab[k, i]],
+                          tiles_out.at[lid_s[i]],
                           lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
                           sem_l.at[i]).start(), c)[1], 0)
         lax.fori_loop(0, jnp.minimum(nu, pch),
                       lambda i, c: (pltpu.make_async_copy(
-                          tiles_out.at[uid_tab[k, i]],
+                          tiles_out.at[uid_s[i]],
                           upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
                           sem_u.at[i]).start(), c)[1], 0)
         cin.wait()
@@ -238,7 +246,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
         # ---- panel solves, chunked ------------------------------------
         def _l_copy(i, base, outward):
             src = lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :]
-            dst = tiles_out.at[lid_tab[k, base + i]]
+            dst = tiles_out.at[lid_s[base + i]]
             sem = (sem_lo if outward else sem_l).at[i]
             return (pltpu.make_async_copy(src, dst, sem) if outward
                     else pltpu.make_async_copy(dst, src, sem))
@@ -268,7 +276,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
 
         def _u_copy(i, base, outward):
             src = upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)]
-            dst = tiles_out.at[uid_tab[k, base + i]]
+            dst = tiles_out.at[uid_s[base + i]]
             sem = (sem_uo if outward else sem_u).at[i]
             return (pltpu.make_async_copy(src, dst, sem) if outward
                     else pltpu.make_async_copy(dst, src, sem))
@@ -344,7 +352,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
 
                     def rin(i, c):
                         pltpu.make_async_copy(
-                            tiles_out.at[uid_tab[k, ub + i]],
+                            tiles_out.at[uid_s[ub + i]],
                             upan.at[:, pl.ds(pl.multiple_of(i * nb, nb),
                                              nb)],
                             sem_u.at[i]).start()
@@ -354,7 +362,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
 
                     def rwait(i, c):
                         pltpu.make_async_copy(
-                            tiles_out.at[uid_tab[k, ub + i]],
+                            tiles_out.at[uid_s[ub + i]],
                             upan.at[:, pl.ds(pl.multiple_of(i * nb, nb),
                                              nb)],
                             sem_u.at[i]).wait()
@@ -369,7 +377,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
 
                     def rin(i, c):
                         pltpu.make_async_copy(
-                            tiles_out.at[lid_tab[k, lb + i]],
+                            tiles_out.at[lid_s[lb + i]],
                             lpan.at[pl.ds(pl.multiple_of(i * nb, nb),
                                           nb), :],
                             sem_l.at[i]).start()
@@ -379,7 +387,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
 
                     def rwait(i, c):
                         pltpu.make_async_copy(
-                            tiles_out.at[lid_tab[k, lb + i]],
+                            tiles_out.at[lid_s[lb + i]],
                             lpan.at[pl.ds(pl.multiple_of(i * nb, nb),
                                           nb), :],
                             sem_l.at[i]).wait()
@@ -428,8 +436,10 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
     lax.fori_loop(0, bl, level, 0)
 
 
-# VMEM ceiling for the panel buffers: NL/NU beyond this fall back to
-# the XLA fused engine (chunked panels are a future extension).
+# Panel chunk width of the factorization kernel (its VMEM use is
+# bounded regardless of level width), and the VMEM ceiling for the
+# solve kernel's resident panel buffer (wider solves fall back to the
+# XLA fused solve).
 MEGA_MAX_PANEL = 32
 
 
@@ -449,10 +459,14 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
     """
     dt = tiles.dtype
     row_w = udst_tab.shape[-1]
+    lid_w = lid_tab.shape[-1]
+    uid_w = uid_tab.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=4,
         grid=(1,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # lid_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),   # uid_tab
             pl.BlockSpec(memory_space=pltpu.ANY),   # udst_tab
             pl.BlockSpec(memory_space=pltpu.ANY),   # udl_tab
             pl.BlockSpec(memory_space=pltpu.ANY),   # udu_tab
@@ -468,6 +482,8 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.VMEM((nb, pch * nb), dt),         # upan (column chunk)
             pltpu.VMEM((nb, pch * nb), dt),         # prodrow
             pltpu.VMEM((_UCH, nb, nb), dt),         # dstbuf
+            pltpu.SMEM((lid_w,), jnp.int32),        # lid_s
+            pltpu.SMEM((uid_w,), jnp.int32),        # uid_s
             pltpu.SMEM((row_w,), jnp.int32),        # udst_s
             pltpu.SMEM((row_w,), jnp.int32),        # udl_s
             pltpu.SMEM((row_w,), jnp.int32),        # udu_s
@@ -513,22 +529,29 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
 # in-kernel substitution loops at all.
 
 
-def _mega_solve_kernel(nl_tab, nuc_tab, lid_tab, lrow_tab, ucid_tab,
-                       ucrow_tab, tiles_hbm, invs_hbm, x_in, x_out,
-                       invbuf, tbuf, sem_inv, sem_t, *, nb, bl, npan):
+def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
+                       ucrow_hbm, tiles_hbm, invs_hbm, x_in, x_out,
+                       invbuf, tbuf, id_s, row_s, sem_inv, sem_t, sem_tab,
+                       *, nb, bl, npan):
     dt = x_out.dtype
     hi = lax.Precision.HIGHEST
     x_out[:, :, :] = x_in[:, :, :]
 
-    def phase(k, nseg_tab, id_tab, row_tab, inv_slot):
-        # fetch the triangle inverse for level k
+    def phase(k, nseg_tab, id_hbm, row_hbm, inv_slot):
+        # fetch the triangle inverse + this level's panel rows
         ci = pltpu.make_async_copy(invs_hbm.at[k, inv_slot], invbuf,
                                    sem_inv)
         ci.start()
+        c1 = pltpu.make_async_copy(id_hbm.at[k], id_s, sem_tab.at[0])
+        c2 = pltpu.make_async_copy(row_hbm.at[k], row_s, sem_tab.at[1])
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
         n = nseg_tab[k]
 
         def t_in(i, c):
-            pltpu.make_async_copy(tiles_hbm.at[id_tab[k, i]],
+            pltpu.make_async_copy(tiles_hbm.at[id_s[i]],
                                   tbuf.at[i], sem_t.at[i]).start()
             return c
 
@@ -543,9 +566,9 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_tab, lrow_tab, ucid_tab,
         x_out[:, k, :] = xk
 
         def t_apply(i, c):
-            pltpu.make_async_copy(tiles_hbm.at[id_tab[k, i]],
+            pltpu.make_async_copy(tiles_hbm.at[id_s[i]],
                                   tbuf.at[i], sem_t.at[i]).wait()
-            r = row_tab[k, i]
+            r = row_s[i]
             upd = lax.dot_general(
                 xk, tbuf[i],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -556,11 +579,11 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_tab, lrow_tab, ucid_tab,
         lax.fori_loop(0, n, t_apply, 0)
 
     def fwd(k, carry):
-        phase(k, nl_tab, lid_tab, lrow_tab, 0)
+        phase(k, nl_tab, lid_hbm, lrow_hbm, 0)
         return carry
 
     def bwd(i, carry):
-        phase(bl - 1 - i, nuc_tab, ucid_tab, ucrow_tab, 1)
+        phase(bl - 1 - i, nuc_tab, ucid_hbm, ucrow_hbm, 1)
         return carry
 
     lax.fori_loop(0, bl, fwd, 0)
@@ -582,10 +605,15 @@ def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
     persisted by :func:`mega_factorize`.  Returns the solved x.
     """
     dt = x.dtype
+    row_w = lid_tab.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # lid_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),    # lrow_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),    # ucid_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),    # ucrow_tab
             pl.BlockSpec(memory_space=pltpu.ANY),    # tiles
             pl.BlockSpec(memory_space=pltpu.ANY),    # invs
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x
@@ -594,8 +622,11 @@ def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
         scratch_shapes=[
             pltpu.VMEM((nb, nb), dt),                # invbuf
             pltpu.VMEM((npan, nb, nb), dt),          # tbuf
+            pltpu.SMEM((row_w,), jnp.int32),         # id_s
+            pltpu.SMEM((row_w,), jnp.int32),         # row_s
             pltpu.SemaphoreType.DMA(()),             # sem_inv
             pltpu.SemaphoreType.DMA((npan,)),        # sem_t
+            pltpu.SemaphoreType.DMA((2,)),           # sem_tab
         ],
     )
     return pl.pallas_call(

@@ -28,16 +28,15 @@ the reference's per-rank dependency metadata
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pangulu_tpu.blocks import BlockedMatrix
 from pangulu_tpu.ops.interface import KernelBackend, get_backend
-from pangulu_tpu.schedule import Schedule, bucket, build_schedule
+from pangulu_tpu.schedule import Schedule, build_schedule
 from pangulu_tpu.utils import device_sync
 from pangulu_tpu.utils.perf import PerfCounters
 

@@ -186,6 +186,10 @@ class Schedule:
         nl_pan = max(bucket(max(self.max_lpanel, 1)), 1)
         nu_pan = max(bucket(max(self.max_upanel, 1)), 1)
         pch = min(max(nl_pan, nu_pan), max_pch)
+        # panel-id tables live in HBM and are DMA'd per level as whole
+        # rows -> lane-align the row width
+        nl_pan = -(-nl_pan // 128) * 128
+        nu_pan = -(-nu_pan // 128) * 128
         nchunks = max(1, -(-max(self.max_updates, 1) // uch))
         # rows are 128 lanes wide (Mosaic DMA slices must be
         # lane-aligned); only the first ``uch`` entries of each are used
@@ -229,9 +233,11 @@ class Schedule:
         (column k above the diagonal, backward pass) with their block
         rows, plus REAL counts for dynamic in-kernel loops."""
         bl = self.block_length
-        nl_pan = max(bucket(max(self.max_lpanel, 1)), 1)
+        # rows are DMA'd whole from HBM into ONE shared SMEM scratch per
+        # level: lane-align and use a common width
         nuc_max = max((len(l.ucolpanel) for l in self.levels), default=0)
-        nuc_pan = max(bucket(max(nuc_max, 1)), 1)
+        w = -(-max(bucket(max(self.max_lpanel, nuc_max, 1)), 1) // 128) * 128
+        nl_pan = nuc_pan = w
         scratch_seg = bl  # x carries bl+1 segments
         nl = np.zeros(bl, dtype=np.int32)
         nuc = np.zeros(bl, dtype=np.int32)
