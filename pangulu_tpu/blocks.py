@@ -196,32 +196,34 @@ def refill_values(blocked: BlockedMatrix, a: CscMatrix) -> None:
     blocked._host_tiles = None
 
 
-def gather_factor(blocked: BlockedMatrix, tiles_np: np.ndarray):
+def gather_factor(blocked: BlockedMatrix, tiles_np: np.ndarray,
+                  batch: int = 2048):
     """Reassemble (L, U) scipy matrices from factored tiles (testing /
-    export).  L has unit diagonal; U includes the diagonal."""
+    export / residual checks).  L has unit diagonal; U includes the
+    diagonal.  Vectorized in tile batches — the per-tile Python loop
+    took minutes at 10^5 tiles."""
     n, nb, bl = blocked.n, blocked.nb, blocked.block_length
+    nt = blocked.num_tiles
+    tile_bi = blocked.browidx
+    tile_bj = np.repeat(np.arange(bl), np.diff(blocked.bcolptr))
     rows_l, cols_l, vals_l = [], [], []
     rows_u, cols_u, vals_u = [], [], []
-    for bj in range(bl):
-        for p in range(blocked.bcolptr[bj], blocked.bcolptr[bj + 1]):
-            bi = blocked.browidx[p]
-            t = tiles_np[p]
-            r0, c0 = bi * nb, bj * nb
-            rr, cc = np.nonzero(t)
-            gr, gc = rr + r0, cc + c0
-            keep = (gr < n) & (gc < n)
-            gr, gc = gr[keep], gc[keep]
-            v = t[rr[keep], cc[keep]]
-            if bi > bj:
-                rows_l.append(gr); cols_l.append(gc); vals_l.append(v)
-            elif bi < bj:
-                rows_u.append(gr); cols_u.append(gc); vals_u.append(v)
-            else:
-                low = gr > gc
-                rows_l.append(gr[low]); cols_l.append(gc[low])
-                vals_l.append(v[low])
-                rows_u.append(gr[~low]); cols_u.append(gc[~low])
-                vals_u.append(v[~low])
+    for s in range(0, nt, batch):
+        e = min(s + batch, nt)
+        t = tiles_np[s:e]
+        tb, rr, cc = np.nonzero(t)
+        tid = tb + s
+        gr = tile_bi[tid] * nb + rr
+        gc = tile_bj[tid] * nb + cc
+        keep = (gr < n) & (gc < n)
+        gr, gc = gr[keep], gc[keep]
+        v = t[tb[keep], rr[keep], cc[keep]]
+        # elementwise gr > gc splits exactly like the tilewise rule:
+        # any element of an off-diagonal L tile has gr > gc and v.v.
+        low = gr > gc
+        rows_l.append(gr[low]); cols_l.append(gc[low]); vals_l.append(v[low])
+        rows_u.append(gr[~low]); cols_u.append(gc[~low])
+        vals_u.append(v[~low])
     dtype = tiles_np.dtype
 
     def _build(rows, cols, vals, add_unit_diag):
@@ -229,7 +231,6 @@ def gather_factor(blocked: BlockedMatrix, tiles_np: np.ndarray):
         c = np.concatenate(cols) if cols else np.empty(0, np.int64)
         v = np.concatenate(vals) if vals else np.empty(0, dtype)
         m = sp.csc_matrix((v, (r, c)), shape=(n, n))
-        m = m[:n, :n]
         if add_unit_diag:
             m = m + sp.identity(n, dtype=dtype, format="csc")
         return m
