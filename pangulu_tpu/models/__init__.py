@@ -3,6 +3,7 @@ from pangulu_tpu.models.generators import (
     poisson2d,
     poisson3d,
     random_unsymmetric,
+    smallworld,
     trefethen,
 )
 
@@ -12,4 +13,5 @@ __all__ = [
     "poisson3d",
     "random_unsymmetric",
     "arrowhead",
+    "smallworld",
 ]

@@ -84,6 +84,24 @@ def random_unsymmetric(
     return CscMatrix.from_scipy(sp.csc_matrix(a).astype(dtype))
 
 
+def smallworld(nx: int, long_range: float = 0.05, seed: int = 0,
+               dtype=np.float64) -> CscMatrix:
+    """2D grid + random long-range couplings — a stand-in for the
+    irregular circuit/power-network matrices PanguLU targets: mostly
+    local structure, but enough scattered entries that bandwidth
+    orderings alone cannot contain the fill."""
+    rng = np.random.default_rng(seed)
+    base = poisson2d(nx, dtype=np.float64).to_scipy()
+    n = base.shape[0]
+    m = max(int(long_range * n), 1)
+    r = rng.integers(0, n, size=m)
+    c = rng.integers(0, n, size=m)
+    v = rng.standard_normal(m) * 0.1
+    extra = sp.csc_matrix((v, (r, c)), shape=(n, n))
+    a = base + extra + extra.T.multiply(0.5)  # unsymmetric values
+    return CscMatrix.from_scipy(sp.csc_matrix(a).astype(dtype))
+
+
 def arrowhead(n: int, dtype=np.float64) -> CscMatrix:
     """Arrowhead matrix — worst case for natural ordering, best case for
     fill-reducing ordering; exercises the reorder path."""

@@ -128,3 +128,15 @@ def test_trsm_panel_solve_variant():
     w = ts.solve(tiles, ro.transform_b(b))
     x = ro.transform_x(w)
     assert residual_norm(a.to_scipy(), x, b) < 1e-10
+
+
+def test_smallworld_irregular():
+    """Irregular structure (grid + scattered long-range couplings) —
+    the SuiteSparse-circuit-class stand-in; exercises auto ordering and
+    wider, raggeder elimination levels."""
+    from pangulu_tpu.models import smallworld
+
+    a = smallworld(16, long_range=0.08, seed=3)
+    b = np.asarray(a.to_scipy() @ np.ones(a.n))
+    x = _solve_and_check(a, InitOptions(nb=32, dtype="r64"), rhs=b)
+    assert np.allclose(x, 1.0, atol=1e-8)
