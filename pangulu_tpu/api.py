@@ -27,7 +27,9 @@ from pangulu_tpu.numeric import LUFactorizer
 from pangulu_tpu.ops.interface import get_backend
 from pangulu_tpu.reorder import Reordering, reorder
 from pangulu_tpu.schedule import Schedule, build_schedule
-from pangulu_tpu.sparse import VALUE_DTYPES, CscMatrix, add_diagonal_elements
+from pangulu_tpu.sparse import (VALUE_DTYPES, CscMatrix,
+                                add_diagonal_elements, complex_embed_matrix,
+                                complex_embed_rhs, complex_unembed_x)
 from pangulu_tpu.sptrsv import TriangularSolver
 from pangulu_tpu.symbolic import SymbolicResult, symbolic
 from pangulu_tpu.utils.log import config_banner, get_logger
@@ -59,6 +61,11 @@ class InitOptions:
                                        # phase (reference: -DPANGULU_PERF
                                        # timers; ours captures full XLA
                                        # traces viewable in XProf)
+    complex_mode: str = "auto"   # cr32/cr64 execution: "native" complex
+                                 # arithmetic, "embed" = real 2x2
+                                 # embedding (rides the TPU real-f32
+                                 # fast path; MXU has no complex
+                                 # datapath), "auto" = embed on TPU
 
     def resolve_dtype(self):
         if self.dtype not in VALUE_DTYPES:
@@ -74,13 +81,16 @@ class Handle:
     src/pangulu_common.h:374-379)."""
 
     opts: InitOptions
-    a_origin: sp.csc_matrix            # original matrix (residual checks)
+    a_origin: sp.csc_matrix            # working matrix (residual checks;
+                                       # the real embedding in embed mode)
     reordering: Reordering
     symbolic_result: SymbolicResult
     blocked: BlockedMatrix
     schedule: Schedule
     perf: PerfCounters
     factor_tiles: object = None        # device tiles after gstrf
+    complex_embed: object = None       # complex dtype if solving the
+                                       # real 2x2 embedding, else None
     _factorizer: object = None
     _trisolver: object = None
     _dist: object = None               # multi-chip executor state
@@ -96,6 +106,13 @@ def init(a, opts: InitOptions | None = None) -> Handle:
     if not isinstance(a, CscMatrix):
         a = CscMatrix.from_scipy(sp.csc_matrix(a))
     a = a.astype(dtype)
+    complex_embed = None
+    if np.dtype(dtype).kind == "c" and _use_complex_embedding(opts):
+        # solve the equivalent interleaved real system (2n x 2n); the
+        # rhs/solution transforms live in gstrs
+        complex_embed = np.dtype(dtype)
+        a = complex_embed_matrix(a)
+        dtype = np.float32 if complex_embed == np.complex64 else np.float64
     a_origin = a.to_scipy().copy()
     perf = PerfCounters()
 
@@ -142,7 +159,21 @@ def init(a, opts: InitOptions | None = None) -> Handle:
     return Handle(
         opts=opts, a_origin=a_origin, reordering=ro, symbolic_result=symb,
         blocked=blocked, schedule=schedule, perf=perf,
+        complex_embed=complex_embed,
     )
+
+
+def _use_complex_embedding(opts: InitOptions) -> bool:
+    mode = opts.complex_mode
+    if mode == "native":
+        return False
+    if mode == "embed":
+        return True
+    if mode != "auto":
+        raise ValueError("complex_mode must be native|embed|auto")
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
 
 
 def gstrf(handle: Handle) -> None:
@@ -222,6 +253,17 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
     if handle.factor_tiles is None:
         raise RuntimeError("gstrs called before gstrf (reference aborts "
                            "the same way)")
+    if handle.complex_embed is not None:
+        # complex rhs -> interleaved real rhs; solve the real embedding;
+        # fold back to complex (see sparse.complex_embed_matrix)
+        emb = handle.complex_embed
+        br = complex_embed_rhs(np.asarray(b).astype(emb))
+        handle.complex_embed = None
+        try:
+            xr = gstrs(handle, br, refine=refine)
+        finally:
+            handle.complex_embed = emb
+        return complex_unembed_x(xr, emb)
     work_dtype = handle.blocked.dtype
     b_in = np.asarray(b)
     b = b_in.astype(work_dtype)
@@ -285,6 +327,8 @@ def update_values(handle: Handle, a_new) -> None:
     if not isinstance(a_new, CscMatrix):
         a_new = CscMatrix.from_scipy(sp.csc_matrix(a_new))
     a_new = a_new.astype(dtype)
+    if handle.complex_embed is not None:
+        a_new = complex_embed_matrix(a_new)
     handle.a_origin = a_new.to_scipy().copy()
     a_new = add_diagonal_elements(a_new)
     with handle.perf.phase("update_values"):

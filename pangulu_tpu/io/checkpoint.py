@@ -37,6 +37,8 @@ def save_factor(handle, path) -> None:
         opts_dtype=handle.opts.dtype,
         opts_backend=handle.opts.backend,
         opts_refine=handle.opts.refine,
+        complex_embed=(str(np.dtype(handle.complex_embed))
+                       if handle.complex_embed is not None else ""),
         factor_tiles=np.asarray(handle.factor_tiles),
         bcolptr=b.bcolptr, browidx=b.browidx,
         brownnzptr=b.brownnzptr, bcolidx=b.bcolidx,
@@ -99,10 +101,12 @@ def load_factor(path):
     opts = InitOptions(nb=nb, dtype=str(z["opts_dtype"]),
                        backend=str(z["opts_backend"]),
                        refine=int(z["opts_refine"]))
+    emb = str(z["complex_embed"]) if "complex_embed" in z else ""
     handle = Handle(
         opts=opts, a_origin=a_origin, reordering=reordering,
         symbolic_result=None, blocked=blocked,
         schedule=build_schedule(blocked), perf=PerfCounters(),
         factor_tiles=z["factor_tiles"],
+        complex_embed=np.dtype(emb) if emb else None,
     )
     return handle

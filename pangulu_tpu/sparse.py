@@ -123,6 +123,41 @@ def add_diagonal_elements(a: CscMatrix, fill_value=1e-8) -> CscMatrix:
     return CscMatrix.from_scipy(s + d)
 
 
+def complex_embed_matrix(a: CscMatrix) -> CscMatrix:
+    """Real 2x2 embedding of a complex matrix, INTERLEAVED so structure
+    and bandwidth are preserved (row/col 2i = Re_i, 2i+1 = Im_i):
+
+        each entry a_ij -> [[Re, -Im], [Im, Re]]
+
+    Solving the embedded real system is mathematically equivalent to
+    the complex solve — this is how cr32/cr64 ride the TPU's real-f32
+    fast path (the MXU has no complex datapath)."""
+    s = a.to_scipy()
+    re = sp.csc_matrix((s.data.real, s.indices, s.indptr), shape=s.shape)
+    im = sp.csc_matrix((s.data.imag, s.indices, s.indptr), shape=s.shape)
+    rdt = s.data.real.dtype
+    rot = np.array([[0.0, -1.0], [1.0, 0.0]], dtype=rdt)
+    eye2 = np.eye(2, dtype=rdt)
+    emb = sp.kron(re, eye2, format="csc") + sp.kron(im, rot, format="csc")
+    return CscMatrix.from_scipy(sp.csc_matrix(emb).astype(rdt))
+
+
+def complex_embed_rhs(b: np.ndarray) -> np.ndarray:
+    """[n(,k)] complex -> [2n(,k)] real interleaved (Re_i, Im_i)."""
+    b = np.asarray(b)
+    out_shape = (2 * b.shape[0],) + b.shape[1:]
+    out = np.empty(out_shape, dtype=b.real.dtype)
+    out[0::2] = b.real
+    out[1::2] = b.imag
+    return out
+
+
+def complex_unembed_x(x: np.ndarray, cdtype) -> np.ndarray:
+    """Inverse of :func:`complex_embed_rhs`."""
+    x = np.asarray(x)
+    return (x[0::2] + 1j * x[1::2]).astype(cdtype)
+
+
 def symmetrize_pattern(a: CscMatrix) -> sp.csc_matrix:
     """Structural A + A^T with explicit diagonal, values all ones.
 

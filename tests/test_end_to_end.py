@@ -140,3 +140,25 @@ def test_smallworld_irregular():
     b = np.asarray(a.to_scipy() @ np.ones(a.n))
     x = _solve_and_check(a, InitOptions(nb=32, dtype="r64"), rhs=b)
     assert np.allclose(x, 1.0, atol=1e-8)
+
+
+def test_complex_embedding_matches_native():
+    """cr64 via the real 2x2 embedding (the TPU fast-path strategy)
+    must match the native complex solve."""
+    a = random_unsymmetric(60, 0.07, dtype=np.complex128, seed=9)
+    b = np.asarray(a.to_scipy() @ (np.ones(a.n) + 0.5j))
+    x_native = _solve_and_check(
+        a, InitOptions(nb=16, dtype="cr64", complex_mode="native"), rhs=b)
+    from pangulu_tpu.api import finalize, gstrf, gstrs, init
+
+    h = init(a, InitOptions(nb=16, dtype="cr64", complex_mode="embed"))
+    assert h.complex_embed is not None
+    assert h.blocked.dtype == np.float64  # real embedded system
+    gstrf(h)
+    x_emb = gstrs(h, b)
+    assert np.iscomplexobj(x_emb)
+    np.testing.assert_allclose(x_emb, x_native, rtol=1e-9, atol=1e-9)
+    from pangulu_tpu.utils.perf import residual_norm
+
+    assert residual_norm(a.to_scipy(), x_emb, b) < 1e-10
+    finalize(h)
