@@ -186,7 +186,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                  fbuf, linv_b, uinv_b, lpan, upan, prodrow, dstbuf,
                  lid_s, uid_s, udst_s, udl_s, udu_s,
                  sem_diag, sem_inv, sem_l, sem_u, sem_lo, sem_uo, sem_di,
-                 sem_do, sem_tab, *, nb, tol, bl, pch):
+                 sem_do, sem_tab, sem_utab, *, nb, tol, bl, pch):
     """One elimination level per fori iteration; panels processed in
     chunks of ``pch`` tiles so arbitrarily wide levels (irregular
     orderings) run in bounded VMEM.  Schur updates are sorted by
@@ -196,19 +196,31 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
     hi = lax.Precision.HIGHEST
     i32 = jnp.int32
 
+    # Panel-id rows stream HBM -> SMEM double-buffered: level k's rows
+    # were prefetched during level k-1, so the fetch never sits on the
+    # critical path (the full tables exceed SMEM for large bl).
+    def _row_copy(k, sl, which):
+        hbm = lid_hbm if which == 0 else uid_hbm
+        buf = (lid_s if which == 0 else uid_s).at[sl]
+        return pltpu.make_async_copy(hbm.at[k], buf,
+                                     sem_tab.at[sl, which])
+
+    _row_copy(0, 0, 0).start()
+    _row_copy(0, 0, 1).start()
+
     def level(k, carry):
         dix = diag_tab[k]
         nl = nl_tab[k]
         nu = nu_tab[k]
         nup = nup_tab[k]
-        # panel-id rows for this level: HBM -> SMEM (the full tables
-        # exceed SMEM for large block counts)
-        cl = pltpu.make_async_copy(lid_hbm.at[k], lid_s, sem_tab.at[0])
-        cu = pltpu.make_async_copy(uid_hbm.at[k], uid_s, sem_tab.at[1])
-        cl.start()
-        cu.start()
-        cl.wait()
-        cu.wait()
+        sl = lax.rem(jnp.asarray(k, i32), i32(2))
+        _row_copy(k, sl, 0).wait()
+        _row_copy(k, sl, 1).wait()
+        nxt = jnp.minimum(k + 1, i32(bl - 1))
+        _row_copy(nxt, 1 - sl, 0).start()
+        _row_copy(nxt, 1 - sl, 1).start()
+        lid_row = lid_s.at[sl]
+        uid_row = uid_s.at[sl]
 
         # ---- diagonal step -------------------------------------------
         cin = pltpu.make_async_copy(tiles_out.at[dix], fbuf,
@@ -218,12 +230,12 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         # and the LU + inverse compute run
         lax.fori_loop(0, jnp.minimum(nl, pch),
                       lambda i, c: (pltpu.make_async_copy(
-                          tiles_out.at[lid_s[i]],
+                          tiles_out.at[lid_row[i]],
                           lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
                           sem_l.at[i]).start(), c)[1], 0)
         lax.fori_loop(0, jnp.minimum(nu, pch),
                       lambda i, c: (pltpu.make_async_copy(
-                          tiles_out.at[uid_s[i]],
+                          tiles_out.at[uid_row[i]],
                           upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
                           sem_u.at[i]).start(), c)[1], 0)
         cin.wait()
@@ -246,7 +258,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         # ---- panel solves, chunked ------------------------------------
         def _l_copy(i, base, outward):
             src = lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :]
-            dst = tiles_out.at[lid_s[base + i]]
+            dst = tiles_out.at[lid_row[base + i]]
             sem = (sem_lo if outward else sem_l).at[i]
             return (pltpu.make_async_copy(src, dst, sem) if outward
                     else pltpu.make_async_copy(dst, src, sem))
@@ -276,7 +288,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
         def _u_copy(i, base, outward):
             src = upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)]
-            dst = tiles_out.at[uid_s[base + i]]
+            dst = tiles_out.at[uid_row[base + i]]
             sem = (sem_uo if outward else sem_u).at[i]
             return (pltpu.make_async_copy(src, dst, sem) if outward
                     else pltpu.make_async_copy(dst, src, sem))
@@ -319,12 +331,12 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                                      (udl_hbm, udl_s, 1),
                                      (udu_hbm, udu_s, 2)):
                 pltpu.make_async_copy(tab.at[k, c], dst_s,
-                                      sem_tab.at[slot]).start()
+                                      sem_utab.at[slot]).start()
             for tab, dst_s, slot in ((udst_hbm, udst_s, 0),
                                      (udl_hbm, udl_s, 1),
                                      (udu_hbm, udu_s, 2)):
                 pltpu.make_async_copy(tab.at[k, c], dst_s,
-                                      sem_tab.at[slot]).wait()
+                                      sem_utab.at[slot]).wait()
 
             def d_in(j, cc):
                 pltpu.make_async_copy(tiles_out.at[udst_s[j]],
@@ -352,7 +364,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
                     def rin(i, c):
                         pltpu.make_async_copy(
-                            tiles_out.at[uid_s[ub + i]],
+                            tiles_out.at[uid_row[ub + i]],
                             upan.at[:, pl.ds(pl.multiple_of(i * nb, nb),
                                              nb)],
                             sem_u.at[i]).start()
@@ -362,7 +374,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
                     def rwait(i, c):
                         pltpu.make_async_copy(
-                            tiles_out.at[uid_s[ub + i]],
+                            tiles_out.at[uid_row[ub + i]],
                             upan.at[:, pl.ds(pl.multiple_of(i * nb, nb),
                                              nb)],
                             sem_u.at[i]).wait()
@@ -377,7 +389,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
                     def rin(i, c):
                         pltpu.make_async_copy(
-                            tiles_out.at[lid_s[lb + i]],
+                            tiles_out.at[lid_row[lb + i]],
                             lpan.at[pl.ds(pl.multiple_of(i * nb, nb),
                                           nb), :],
                             sem_l.at[i]).start()
@@ -387,7 +399,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
                     def rwait(i, c):
                         pltpu.make_async_copy(
-                            tiles_out.at[lid_s[lb + i]],
+                            tiles_out.at[lid_row[lb + i]],
                             lpan.at[pl.ds(pl.multiple_of(i * nb, nb),
                                           nb), :],
                             sem_l.at[i]).wait()
@@ -434,6 +446,8 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         return carry
 
     lax.fori_loop(0, bl, level, 0)
+    _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2)), 0).wait()
+    _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2)), 1).wait()
 
 
 # Panel chunk width of the factorization kernel (its VMEM use is
@@ -482,8 +496,8 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.VMEM((nb, pch * nb), dt),         # upan (column chunk)
             pltpu.VMEM((nb, pch * nb), dt),         # prodrow
             pltpu.VMEM((_UCH, nb, nb), dt),         # dstbuf
-            pltpu.SMEM((lid_w,), jnp.int32),        # lid_s
-            pltpu.SMEM((uid_w,), jnp.int32),        # uid_s
+            pltpu.SMEM((2, lid_w), jnp.int32),      # lid_s (double buf)
+            pltpu.SMEM((2, uid_w), jnp.int32),      # uid_s (double buf)
             pltpu.SMEM((row_w,), jnp.int32),        # udst_s
             pltpu.SMEM((row_w,), jnp.int32),        # udl_s
             pltpu.SMEM((row_w,), jnp.int32),        # udu_s
@@ -495,7 +509,8 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.SemaphoreType.DMA((pch,)),        # sem_uo
             pltpu.SemaphoreType.DMA((_UCH,)),       # sem_di
             pltpu.SemaphoreType.DMA((_UCH,)),       # sem_do
-            pltpu.SemaphoreType.DMA((3,)),          # sem_tab
+            pltpu.SemaphoreType.DMA((2, 2)),        # sem_tab (rows)
+            pltpu.SemaphoreType.DMA((3,)),          # sem_utab
         ],
     )
     return pl.pallas_call(

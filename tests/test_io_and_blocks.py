@@ -95,3 +95,25 @@ def test_npz_matrix_roundtrip(tmp_path):
     write_matrix(p, a)
     b = read_matrix(p, dtype=a.values.dtype)
     assert (a.to_scipy() != b.to_scipy()).nnz == 0
+
+
+def test_rejects_non_square():
+    import pytest
+    import scipy.sparse as sp
+
+    from pangulu_tpu.api import InitOptions, init
+
+    with pytest.raises(ValueError, match="square"):
+        init(sp.random(5, 7, density=0.5, format="csc"),
+             InitOptions(nb=4))
+
+
+def test_rhs_length_mismatch(tmp_path):
+    import pytest
+
+    from pangulu_tpu.io.mmio import read_rhs
+
+    p = tmp_path / "b.txt"
+    np.savetxt(p, np.ones(5))
+    with pytest.raises(ValueError, match="rhs length"):
+        read_rhs(p, 7, np.float64)
