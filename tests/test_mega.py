@@ -117,3 +117,17 @@ def test_mega_tables_shapes():
     assert int(t["nup_tab"].sum()) == h.schedule.n_ssssm
     assert int(t["nl_tab"].sum()) == h.schedule.n_tstrf
     assert int(t["nu_tab"].sum()) == h.schedule.n_gessm
+
+
+def test_mega_single_tile():
+    """bl=1 edge: prologue/drain of the row-stream pipeline and empty
+    panel/update loops."""
+    a = poisson2d(3)  # n=9 < nb -> one tile
+    h = init(a, InitOptions(nb=16, dtype="r32"))
+    assert h.schedule.block_length == 1
+    bk = get_backend("pallas", nb=16, dtype=h.blocked.dtype)
+    fac = LUFactorizer(h.blocked, h.schedule, backend=bk, dispatch="mega")
+    tiles = np.asarray(fac.factorize())
+    lm, um = gather_factor(h.blocked, tiles)
+    res = factorization_residual(h.reordering.reordered.to_scipy(), lm, um)
+    assert res < 1e-5
