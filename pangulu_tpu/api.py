@@ -210,6 +210,9 @@ def gstrf(handle: Handle) -> None:
             handle.blocked, handle.schedule, backend=backend,
             perf=handle.perf)
         handle.factor_tiles = handle._factorizer.factorize()
+    # drop any cached solver: it may hold the PREVIOUS factorization's
+    # triangle inverses (the Pallas solve path reads them)
+    handle._trisolver = None
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
         log.info("profiler trace written to %s", handle.opts.profile_dir)

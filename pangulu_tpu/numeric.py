@@ -1,7 +1,10 @@
 """Numeric LU factorization engine (single-chip path).
 
 Counterpart of the reference's DAG scheduler + compute/comm threads
-(``pangulu_numeric.c:256-1080``), re-expressed TPU-natively: a host
+(``pangulu_numeric.c:256-1080``), re-expressed TPU-natively.  The TPU
+fast path is the Pallas MEGA-KERNEL (ops/kernels_pallas.mega_factorize):
+the entire elimination loop in one launch, auto-selected by
+``_mega_eligible``.  The portable engines below run everywhere: a host
 dispatch loop walks the precomputed level schedule; each level runs
 
   1. a fixed-shape jitted *diag step* — GETRF of the diagonal tile plus

@@ -70,3 +70,24 @@ def test_checkpoint_requires_factor(tmp_path):
     h = init(a, InitOptions(nb=8, dtype="r64"))
     with pytest.raises(RuntimeError, match="gstrf"):
         save_factor(h, tmp_path / "x.npz")
+
+
+def test_refactorize_drops_stale_solver_state():
+    """gstrf must invalidate the cached triangular solver: the Pallas
+    solve path reads triangle inverses persisted by the factorization,
+    and reusing the previous factorization's inverses would corrupt
+    solves after update_values + gstrf."""
+    a = random_unsymmetric(60, 0.08, seed=21)
+    h = init(a, InitOptions(nb=16, dtype="r64"))
+    gstrf(h)
+    b = a.to_scipy() @ np.ones(a.n)
+    _ = gstrs(h, b)           # caches a trisolver
+    solver_before = h._trisolver
+    s2 = a.to_scipy().copy()
+    s2.data = s2.data * 1.7
+    update_values(h, s2)
+    gstrf(h)
+    assert h._trisolver is not solver_before or h._trisolver is None
+    b2 = s2 @ np.ones(a.n)
+    x2 = gstrs(h, b2)
+    assert residual_norm(s2, x2, b2) < 1e-10
