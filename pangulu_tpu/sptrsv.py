@@ -141,13 +141,41 @@ class TriangularSolver:
         out = np.asarray(xb)[:bl].reshape(bl * nb, -1)[:n]
         return out
 
+    def _ensure_inverses(self, tiles):
+        """Triangle inverses for every level, recomputed from the packed
+        factors when the factorization didn't persist them (e.g. a
+        checkpoint-loaded handle).  Unlike the factorization itself the
+        inverses have NO cross-level dependency, so this is one batched
+        Newton pass over all diagonal tiles."""
+        if self.inv_tiles is not None:
+            return self.inv_tiles
+        from pangulu_tpu.ops.kernels_jax import (DEFAULT_TOL,
+                                                 unit_lower_inv_newton,
+                                                 upper_inv_newton)
+
+        diag_ids = jnp.asarray(
+            np.array([lev.diag for lev in self.schedule.levels],
+                     dtype=np.int32))
+        tol = float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)])
+
+        @jax.jit
+        def _compute(tiles):
+            diags = tiles[diag_ids]
+            linv = jax.vmap(unit_lower_inv_newton)(diags)
+            uinv = jax.vmap(lambda f: upper_inv_newton(f, tol))(diags)
+            return jnp.stack([linv, uinv], axis=1)
+
+        with jax.default_matmul_precision(self.precision):
+            self.inv_tiles = _compute(jnp.asarray(tiles))
+        return self.inv_tiles
+
     def _mega_eligible(self, nrhs: int) -> bool:
         import jax as _jax
 
         from pangulu_tpu.ops.kernels_pallas import (MEGA_MAX_PANEL,
                                                     MEGA_SOLVE_MAX_X_BYTES)
 
-        if self.inv_tiles is None or self.backend.name != "pallas":
+        if self.backend.name != "pallas":
             return False
         if _jax.default_backend() != "tpu":
             return False
@@ -194,10 +222,11 @@ class TriangularSolver:
             self._mega_tables = (
                 {k: jnp.asarray(v) for k, v in t.items()}, npan)
         t, npan = self._mega_tables
+        invs = self._ensure_inverses(tiles)
         xh = np.zeros((nrhs, bl + 1, nb), dtype=self.blocked.dtype)
         xh[:, :bl].reshape(nrhs, bl * nb)[:, : self.blocked.n] = b2.T
         with self.perf.phase("sptrsv"):
-            x = mega_solve(jnp.asarray(xh), tiles, self.inv_tiles,
+            x = mega_solve(jnp.asarray(xh), tiles, invs,
                            t["nl_tab"], t["nuc_tab"], t["lid_tab"],
                            t["lrow_tab"], t["ucid_tab"], t["ucrow_tab"],
                            nb=nb, bl=bl, npan=npan)

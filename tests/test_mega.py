@@ -131,3 +131,27 @@ def test_mega_single_tile():
     lm, um = gather_factor(h.blocked, tiles)
     res = factorization_residual(h.reordering.reordered.to_scipy(), lm, um)
     assert res < 1e-5
+
+
+def test_mega_solve_recomputes_inverses():
+    """A solver without persisted inverses (checkpoint-loaded handle)
+    recomputes them from the packed factors in one batched pass."""
+    import jax.numpy as jnp
+
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a = poisson2d(8)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="rcm"))
+    bk = get_backend("pallas", nb=16, dtype=h.blocked.dtype)
+    fac = LUFactorizer(h.blocked, h.schedule, backend=bk, dispatch="mega")
+    tiles = fac.factorize()
+    b = (h.reordering.reordered.to_scipy()
+         @ np.ones(a.n, np.float32)).astype(np.float32)
+    with_inv = TriangularSolver(h.blocked, h.schedule, backend=bk,
+                                inv_tiles=fac.inv_tiles)
+    x_ref = with_inv._solve_mega(jnp.asarray(tiles), b)
+    no_inv = TriangularSolver(h.blocked, h.schedule, backend=bk)
+    assert no_inv.inv_tiles is None
+    x = no_inv._solve_mega(jnp.asarray(tiles), b)
+    assert no_inv.inv_tiles is not None
+    np.testing.assert_allclose(x, x_ref, rtol=1e-4, atol=1e-5)
