@@ -386,6 +386,13 @@ class Solver:
             self.factor()
         return gstrs(self.handle, b)
 
+    def update_values(self, a_new) -> "Solver":
+        """Same-pattern refactorization fast path (see
+        :func:`update_values`); the next solve refactors."""
+        update_values(self.handle, a_new)
+        self._factored = False
+        return self
+
     @property
     def perf(self) -> PerfCounters:
         return self.handle.perf
