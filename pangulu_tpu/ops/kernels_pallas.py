@@ -1,22 +1,32 @@
 """Pallas TPU kernels — the hand-written hot-op backend.
 
 Counterpart of the reference's CUDA platform
-(platforms/.../pangulu_platform_0201000.cu): where the reference writes
-warp-level CUDA kernels for GETRF/TSTRF/GESSM/SSSSM, we write Mosaic
-kernels for the ops where XLA's generic lowering leaves time on the
-table.  The single biggest one is the per-level diagonal step: an
-nb x nb unpivoted LU plus both triangle inverses, fully VMEM-resident
-(the factorization's sequential critical path — one per elimination
-level, pangulu_platform_0201000.cu:547-641 is the reference's version
-via cusolver).
+(platforms/.../pangulu_platform_0201000.cu): where the reference
+launches warp-level CUDA kernels per task, we launch ONE Mosaic kernel
+per PHASE:
 
-Design:
-  * the tile lives in VMEM for the whole kernel; the rank-1 LU loop is
-    a real in-kernel loop (no XLA op dispatch per step);
+  * :func:`mega_factorize` — the ENTIRE numeric factorization in one
+    pallas_call: tiles resident in HBM; per elimination level the
+    kernel streams its index tables HBM->SMEM (double-buffered), DMAs
+    the diagonal tile to VMEM, runs the rank-1 LU + Newton-doubling
+    triangle inverses in-core, solves L/U panels in VMEM chunks as
+    flat MXU matmuls, and applies Schur updates sorted by (u-chunk,
+    l-chunk, l) so one row-product dot serves all updates sharing an
+    L block.  The inverses are persisted for the solve.
+  * :func:`mega_solve` — the entire forward+backward SpTRSV in one
+    pallas_call: x lives in VMEM, every step is an MXU contraction
+    against the persisted inverses (no substitution loops).
+  * :func:`getrf_with_inverses` — the standalone per-tile diagonal
+    step, used by the portable XLA engines.
+
+Design notes:
+  * the rank-1 LU loop uses masked-reduction row/column extraction
+    (Mosaic lane slicing must be 128-aligned) and defers L scaling to
+    one whole-triangle pass at the end;
   * triangle inverses use exact Newton–Schulz doubling — log2(nb)
     MXU matmul pairs (see kernels_jax.unit_lower_inv_newton);
-  * off the TPU the kernel runs in interpreter mode so the backend is
-    testable everywhere.
+  * off the TPU the kernels run in interpreter mode so every engine is
+    testable everywhere (tests pin them against the XLA engines).
 """
 
 from __future__ import annotations
