@@ -114,11 +114,6 @@ def _lu_inverses(a, *, nb, tol):
     _dot = functools.partial(jnp.dot, preferred_element_type=dt,
                              precision=lax.Precision.HIGHEST)
 
-    def newton_l(_, x):
-        return _dot(x, 2 * eye - _dot(lmat, x))
-
-    linv = lax.fori_loop(0, steps, newton_l, x)
-
     dvec = jnp.sum(jnp.where(
         lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
         == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
@@ -129,10 +124,15 @@ def _lu_inverses(a, *, nb, tol):
     umat = eye + m
     y = 2 * eye - umat
 
-    def newton_u(_, y):
-        return _dot(y, 2 * eye - _dot(umat, y))
+    # interleave the two (independent) doubling chains so the scheduler
+    # can pipeline their MXU dots
+    def newton_both(_, carry):
+        x, y = carry
+        x = _dot(x, 2 * eye - _dot(lmat, x))
+        y = _dot(y, 2 * eye - _dot(umat, y))
+        return x, y
 
-    y = lax.fori_loop(0, steps, newton_u, y)
+    linv, y = lax.fori_loop(0, steps, newton_both, (x, y))
     return f, linv, y * dinv_row
 
 
