@@ -12,6 +12,9 @@
 // environment).  All index arrays are int64 unless noted.
 
 #include <algorithm>
+#include <cctype>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -277,6 +280,104 @@ int pangulu_mc64(int64_t n, const int64_t* colptr, const int32_t* rowidx,
   }
   for (int64_t j = 0; j < n; ++j) col_scale[j] = std::exp(v[j] - logmax[j]);
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Fast MatrixMarket coordinate reader (counterpart of the reference's
+// vendored mmio_highlevel.h, examples/mmio*.h — C there, C++ here).
+// Two-phase ctypes protocol:
+//   pangulu_mmio_probe(path, hdr[5]) -> 0 ok / -1 error
+//     hdr = {nrows, ncols, nnz_declared, field, symmetry}
+//     field: 0 real, 1 integer, 2 pattern, 3 complex
+//     symmetry: 0 general, 1 symmetric, 2 skew-symmetric, 3 hermitian
+//   pangulu_mmio_read(path, nnz, rows, cols, re, im) -> count / -1
+//     caller allocates nnz-sized arrays; im may be null for real data.
+// Symmetry expansion happens in the Python layer (vectorized numpy).
+// ---------------------------------------------------------------------------
+
+static int mmio_parse_header(FILE* f, int64_t hdr[5]) {
+  char line[1024];
+  if (!fgets(line, sizeof line, f)) return -1;
+  char obj[64] = {0}, fmt[64] = {0}, fld[64] = {0}, sym[64] = {0};
+  if (sscanf(line, "%%%%MatrixMarket %63s %63s %63s %63s",
+             obj, fmt, fld, sym) != 4) return -1;
+  for (char* p = fld; *p; ++p) *p = (char)tolower(*p);
+  for (char* p = sym; *p; ++p) *p = (char)tolower(*p);
+  for (char* p = fmt; *p; ++p) *p = (char)tolower(*p);
+  if (strcmp(fmt, "coordinate") != 0) return -1;  // dense: python path
+  int64_t field;
+  if (!strcmp(fld, "real")) field = 0;
+  else if (!strcmp(fld, "integer")) field = 1;
+  else if (!strcmp(fld, "pattern")) field = 2;
+  else if (!strcmp(fld, "complex")) field = 3;
+  else return -1;
+  int64_t symmetry;
+  if (!strcmp(sym, "general")) symmetry = 0;
+  else if (!strcmp(sym, "symmetric")) symmetry = 1;
+  else if (!strcmp(sym, "skew-symmetric")) symmetry = 2;
+  else if (!strcmp(sym, "hermitian")) symmetry = 3;
+  else return -1;
+  // skip comments, read size line
+  while (fgets(line, sizeof line, f)) {
+    if (line[0] == '%') continue;
+    long long m = 0, n = 0, nz = 0;
+    if (sscanf(line, "%lld %lld %lld", &m, &n, &nz) != 3) return -1;
+    hdr[0] = m; hdr[1] = n; hdr[2] = nz; hdr[3] = field; hdr[4] = symmetry;
+    return 0;
+  }
+  return -1;
+}
+
+int pangulu_mmio_probe(const char* path, int64_t hdr[5]) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  const int rc = mmio_parse_header(f, hdr);
+  fclose(f);
+  return rc;
+}
+
+int64_t pangulu_mmio_read(const char* path, int64_t nnz, int32_t* rows,
+                          int32_t* cols, double* re, double* im) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  int64_t hdr[5];
+  if (mmio_parse_header(f, hdr) != 0) { fclose(f); return -1; }
+  const int64_t field = hdr[3];
+  static const size_t kBuf = 1 << 20;
+  std::vector<char> buf(kBuf);
+  setvbuf(f, buf.data(), _IOFBF, kBuf);
+  char line[1024];
+  int64_t k = 0;
+  while (k < nnz && fgets(line, sizeof line, f)) {
+    char* p = line;
+    while (*p == ' ' || *p == '\t') ++p;
+    if (*p == '%' || *p == '\n' || *p == '\0') continue;
+    char* end;
+    const long long r = strtoll(p, &end, 10);
+    if (end == p) { fclose(f); return -1; }
+    p = end;
+    const long long c = strtoll(p, &end, 10);
+    if (end == p) { fclose(f); return -1; }
+    p = end;
+    double vre = 1.0, vim = 0.0;
+    if (field == 0 || field == 1) {
+      vre = strtod(p, &end);
+      if (end == p) { fclose(f); return -1; }
+    } else if (field == 3) {
+      vre = strtod(p, &end);
+      if (end == p) { fclose(f); return -1; }
+      p = end;
+      vim = strtod(p, &end);
+      if (end == p) { fclose(f); return -1; }
+    }
+    rows[k] = (int32_t)(r - 1);  // 1-based -> 0-based
+    cols[k] = (int32_t)(c - 1);
+    re[k] = vre;
+    if (im) im[k] = vim;
+    ++k;
+  }
+  fclose(f);
+  return k;
 }
 
 }  // extern "C"

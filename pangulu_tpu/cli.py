@@ -84,7 +84,12 @@ def main(argv=None):
         handle = load_factor(args.load_factor)
         a = CscMatrix.from_scipy(handle.a_origin)
     else:
-        a = read_matrix(args.file, dtype=dtype)
+        try:
+            a = read_matrix(args.file, dtype=dtype)
+        except (OSError, ValueError) as e:
+            print(f"error reading matrix {args.file!r}: {e}",
+                  file=sys.stderr)
+            return 2
         opts = InitOptions(nb=args.nb, dtype=args.dtype,
                            mc64=not args.no_mc64,
                            ordering=args.ordering,

@@ -15,6 +15,36 @@ import scipy.sparse as sp
 from pangulu_tpu.sparse import CscMatrix
 
 
+def _read_mtx_native(path):
+    """Native C++ coordinate-mtx reader (native/pangulu_host.cpp
+    pangulu_mmio_read — the counterpart of the reference's vendored C
+    reader, examples/mmio_highlevel.h; measured at parity with scipy's
+    fast_matrix_market engine).  Returns a scipy matrix or None
+    (gz / dense / array variants fall back to scipy)."""
+    if str(path).endswith(".gz"):
+        return None
+    from pangulu_tpu import native
+
+    try:
+        out = native.mmio_read(path)
+    except Exception:
+        return None
+    if out is None:
+        return None
+    nrows, ncols, rows, cols, vals, symmetry = out
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(nrows, ncols))
+    if symmetry:  # expand symmetric / skew / hermitian storage
+        off = rows != cols
+        v = vals[off]
+        if symmetry == 2:
+            v = -v
+        elif symmetry == 3:
+            v = np.conj(v)
+        a = a + sp.coo_matrix((v, (cols[off], rows[off])),
+                              shape=(nrows, ncols))
+    return sp.csc_matrix(a)
+
+
 def read_matrix(path, dtype=None) -> CscMatrix:
     """Read a sparse matrix into CSC.
 
@@ -32,7 +62,9 @@ def read_matrix(path, dtype=None) -> CscMatrix:
         a = sp.csc_matrix((z["data"], z["indices"], z["indptr"]),
                           shape=(n, int(z["shape"][1])))
     else:
-        a = sp.csc_matrix(scipy.io.mmread(path))
+        a = _read_mtx_native(path)
+        if a is None:
+            a = sp.csc_matrix(scipy.io.mmread(path))
     if dtype is not None:
         a = a.astype(dtype)
     a.sum_duplicates()

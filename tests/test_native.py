@@ -135,3 +135,35 @@ def test_mc64_singular_returns_none():
     s[4, 0] = 1.0
     s = sp.csc_matrix(s)
     assert native.mc64(5, s.indptr, s.indices, np.abs(s.data)) is None
+
+
+def test_native_mmio_reader(tmp_path):
+    """Native C++ MatrixMarket reader matches scipy across storage
+    variants (general / symmetric / hermitian / pattern)."""
+    import scipy.io
+    import scipy.sparse as sp
+
+    from pangulu_tpu.io.mmio import _read_mtx_native, read_matrix, \
+        write_matrix
+    from pangulu_tpu.models import random_unsymmetric
+
+    a = random_unsymmetric(120, 0.05, seed=4)
+    p = tmp_path / "g.mtx"
+    write_matrix(p, a)
+    if _read_mtx_native(p) is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    assert (read_matrix(p).to_scipy() != a.to_scipy()).nnz == 0
+
+    s = a.to_scipy()
+    s = (s + s.T) / 2
+    ps = tmp_path / "s.mtx"
+    scipy.io.mmwrite(ps, sp.csc_matrix(s), symmetry="symmetric")
+    assert abs(read_matrix(ps).to_scipy() - s).max() < 1e-12
+
+    c = s.astype(np.complex128) + 1j * sp.triu(s, 1) - 1j * sp.tril(s, -1)
+    c = sp.csc_matrix((c + c.getH()) / 2)
+    ph = tmp_path / "h.mtx"
+    scipy.io.mmwrite(ph, c)
+    assert abs(read_matrix(ph).to_scipy() - c).max() < 1e-12
