@@ -218,27 +218,43 @@ int pangulu_mc64(int64_t n, const int64_t* colptr, const int32_t* rowidx,
   std::vector<int64_t> row2col(n, -1), col2row(n, -1);
   std::vector<double> dist(n);
   std::vector<int64_t> pred(n);      // predecessor row of column j
-  std::vector<char> done(n);
+  // timestamp validity instead of per-row O(n) refills (the refills
+  // made the whole matching O(n^2): 35 s at n=262k, ~1 s with stamps)
+  std::vector<int64_t> stamp_d(n, -1), stamp_f(n, -1);
   std::vector<int64_t> touched;
   using QN = std::pair<double, int64_t>;  // (dist, column)
 
+  // Greedy zero-cost pre-match (the reference's initial-extreme-match
+  // phase, pangulu_reordering.c:261-288): each column's max entry has
+  // cost exactly 0, so matching it is optimal while columns are free.
+  for (int64_t r = 0; r < n; ++r)
+    for (int64_t p = rptr[r]; p < rptr[r + 1]; ++p) {
+      const int64_t j = rcol[p];
+      if (rcost[p] == 0.0 && col2row[j] == -1) {
+        row2col[r] = j;
+        col2row[j] = r;
+        break;
+      }
+    }
+
   for (int64_t r0 = 0; r0 < n; ++r0) {
-    std::fill(dist.begin(), dist.end(), INF);
-    std::fill(done.begin(), done.end(), 0);
+    if (row2col[r0] != -1) continue;  // pre-matched
     touched.clear();
     std::priority_queue<QN, std::vector<QN>, std::greater<QN>> pq;
     for (int64_t p = rptr[r0]; p < rptr[r0 + 1]; ++p) {
       const int64_t j = rcol[p];
       const double d = rcost[p] - v[j];
-      if (d < dist[j]) { dist[j] = d; pred[j] = r0; pq.emplace(d, j); }
+      if (stamp_d[j] != r0 || d < dist[j]) {
+        dist[j] = d; stamp_d[j] = r0; pred[j] = r0; pq.emplace(d, j);
+      }
     }
     int64_t sink = -1;
     double lsp = INF;
     while (!pq.empty()) {
       auto [d, j] = pq.top();
       pq.pop();
-      if (done[j] || d > dist[j]) continue;
-      done[j] = 1;
+      if (stamp_f[j] == r0 || d > dist[j]) continue;
+      stamp_f[j] = r0;
       touched.push_back(j);
       if (col2row[j] == -1) { sink = j; lsp = d; break; }
       const int64_t r = col2row[j];
@@ -248,9 +264,12 @@ int pangulu_mc64(int64_t n, const int64_t* colptr, const int32_t* rowidx,
         if (rcol[p] == j) { ur = rcost[p] - v[j]; break; }
       for (int64_t p = rptr[r]; p < rptr[r + 1]; ++p) {
         const int64_t j2 = rcol[p];
-        if (done[j2]) continue;
+        if (stamp_f[j2] == r0) continue;
         const double nd = d + (rcost[p] - ur - v[j2]);
-        if (nd < dist[j2]) { dist[j2] = nd; pred[j2] = r; pq.emplace(nd, j2); }
+        if (stamp_d[j2] != r0 || nd < dist[j2]) {
+          dist[j2] = nd; stamp_d[j2] = r0; pred[j2] = r;
+          pq.emplace(nd, j2);
+        }
       }
     }
     if (sink == -1) return 1;  // structurally singular
