@@ -615,8 +615,9 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
     lax.fori_loop(0, bl, bwd, 0)
 
 
-# VMEM budget gate for the in-VMEM solution vector.
-MEGA_SOLVE_MAX_X_BYTES = 8 * 2 ** 20
+# VMEM budget gate for the in-VMEM solution vector (the kernel's other
+# buffers are small; the Mosaic scoped-vmem cap is raised to 100MB).
+MEGA_SOLVE_MAX_X_BYTES = 24 * 2 ** 20
 
 
 @functools.partial(jax.jit,
