@@ -1,0 +1,44 @@
+"""Property sweep: randomized matrices x dtypes x block sizes x
+orderings solve to dtype-appropriate residuals (refinement included).
+Bounded sizes keep the sweep fast on the CPU backend."""
+
+import numpy as np
+import pytest
+
+from pangulu_tpu.api import InitOptions, finalize, gssv, init
+from pangulu_tpu.models import random_unsymmetric, smallworld
+from pangulu_tpu.utils.perf import residual_norm
+
+TOL = {"r32": 1e-6, "r64": 1e-10, "cr32": 1e-6, "cr64": 1e-10}
+# r32/cr32 approach f64 accuracy through iterative refinement (observed
+# ~1e-8; refinement stops when limited by the f32 factor quality)
+
+CASES = [
+    # (dtype, nb, ordering, generator)
+    ("r64", 8, "natural", lambda: random_unsymmetric(40, 0.15, seed=1)),
+    ("r64", 24, "mindeg", lambda: random_unsymmetric(150, 0.04, seed=2)),
+    ("r32", 16, "rcm", lambda: smallworld(10, 0.1, seed=3)),
+    ("r32", 32, "auto", lambda: random_unsymmetric(120, 0.05, seed=4)),
+    ("cr32", 16, "auto",
+     lambda: random_unsymmetric(80, 0.06, seed=5, dtype=np.complex128)),
+    ("cr64", 24, "mindeg",
+     lambda: random_unsymmetric(100, 0.05, seed=6, dtype=np.complex128)),
+    ("r64", 16, "auto", lambda: random_unsymmetric(90, 0.07, seed=7)),
+    ("r32", 16, "natural", lambda: random_unsymmetric(64, 0.1, seed=8)),
+]
+
+
+@pytest.mark.parametrize("dtype,nb,ordering,gen", CASES)
+def test_random_solve(dtype, nb, ordering, gen):
+    a = gen()
+    s = a.to_scipy()
+    rng = np.random.default_rng(0)
+    x_true = rng.standard_normal(a.n)
+    if dtype.startswith("cr"):
+        x_true = x_true + 1j * rng.standard_normal(a.n)
+    b = np.asarray(s @ x_true)
+    h = init(a, InitOptions(nb=nb, dtype=dtype, ordering=ordering))
+    x = gssv(h, b)
+    res = residual_norm(s, x, b)
+    assert res < TOL[dtype], f"residual {res:.3e} for {dtype}/{ordering}"
+    finalize(h)
