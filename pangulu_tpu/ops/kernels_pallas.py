@@ -206,17 +206,21 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
     hi = lax.Precision.HIGHEST
     i32 = jnp.int32
 
-    # Panel-id rows stream HBM -> SMEM double-buffered: level k's rows
-    # were prefetched during level k-1, so the fetch never sits on the
+    # Index-table rows stream HBM -> SMEM double-buffered: level k's
+    # panel-id rows AND its first Schur-update chunk rows were
+    # prefetched during level k-1, so table fetches never sit on the
     # critical path (the full tables exceed SMEM for large bl).
+    _ROW_SRC = (lid_hbm, uid_hbm, udst_hbm, udl_hbm, udu_hbm)
+    _ROW_DST = (lid_s, uid_s, udst_s, udl_s, udu_s)
+
     def _row_copy(k, sl, which):
-        hbm = lid_hbm if which == 0 else uid_hbm
-        buf = (lid_s if which == 0 else uid_s).at[sl]
-        return pltpu.make_async_copy(hbm.at[k], buf,
+        src = (_ROW_SRC[which].at[k] if which < 2
+               else _ROW_SRC[which].at[k, 0])   # update tables: chunk 0
+        return pltpu.make_async_copy(src, _ROW_DST[which].at[sl],
                                      sem_tab.at[sl, which])
 
-    _row_copy(0, 0, 0).start()
-    _row_copy(0, 0, 1).start()
+    for w in range(5):
+        _row_copy(0, 0, w).start()
 
     def level(k, carry):
         dix = diag_tab[k]
@@ -224,18 +228,28 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         nu = nu_tab[k]
         nup = nup_tab[k]
         sl = lax.rem(jnp.asarray(k, i32), i32(2))
-        _row_copy(k, sl, 0).wait()
-        _row_copy(k, sl, 1).wait()
+        for w in range(5):
+            _row_copy(k, sl, w).wait()
         nxt = jnp.minimum(k + 1, i32(bl - 1))
-        _row_copy(nxt, 1 - sl, 0).start()
-        _row_copy(nxt, 1 - sl, 1).start()
+        for w in range(5):
+            _row_copy(nxt, 1 - sl, w).start()
         lid_row = lid_s.at[sl]
         uid_row = uid_s.at[sl]
+        udst_row = udst_s.at[sl]
+        udl_row = udl_s.at[sl]
+        udu_row = udu_s.at[sl]
 
         # ---- diagonal step -------------------------------------------
         cin = pltpu.make_async_copy(tiles_out.at[dix], fbuf,
                                     sem_diag.at[0])
         cin.start()
+        # hoist the FIRST Schur chunk's dst loads: dst tiles are
+        # disjoint from this level's diag/panel tiles, so they stream in
+        # under the diag DMA + LU + panel work
+        lax.fori_loop(0, jnp.minimum(nup, i32(_UCH)),
+                      lambda j, c: (pltpu.make_async_copy(
+                          tiles_out.at[udst_row[j]],
+                          dstbuf.at[j], sem_di.at[j]).start(), c)[1], 0)
         # prefetch the FIRST panel chunks: they load while the diag DMA
         # and the LU + inverse compute run
         lax.fori_loop(0, jnp.minimum(nl, pch),
@@ -337,30 +351,34 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         def chunk(c, cur):
             base = c * _UCH
             cnt = jnp.minimum(nup - base, _UCH)
-            for tab, dst_s, slot in ((udst_hbm, udst_s, 0),
-                                     (udl_hbm, udl_s, 1),
-                                     (udu_hbm, udu_s, 2)):
-                pltpu.make_async_copy(tab.at[k, c], dst_s,
-                                      sem_utab.at[slot]).start()
-            for tab, dst_s, slot in ((udst_hbm, udst_s, 0),
-                                     (udl_hbm, udl_s, 1),
-                                     (udu_hbm, udu_s, 2)):
-                pltpu.make_async_copy(tab.at[k, c], dst_s,
-                                      sem_utab.at[slot]).wait()
 
-            def d_in(j, cc):
-                pltpu.make_async_copy(tiles_out.at[udst_s[j]],
-                                      dstbuf.at[j], sem_di.at[j]).start()
-                return cc
+            @pl.when(c > 0)  # chunk 0 rows/dsts prefetched at level start
+            def _():
+                for tab, dst_s, slot in ((udst_hbm, udst_row, 0),
+                                         (udl_hbm, udl_row, 1),
+                                         (udu_hbm, udu_row, 2)):
+                    pltpu.make_async_copy(tab.at[k, c], dst_s,
+                                          sem_utab.at[slot]).start()
+                for tab, dst_s, slot in ((udst_hbm, udst_row, 0),
+                                         (udl_hbm, udl_row, 1),
+                                         (udu_hbm, udu_row, 2)):
+                    pltpu.make_async_copy(tab.at[k, c], dst_s,
+                                          sem_utab.at[slot]).wait()
 
-            lax.fori_loop(0, cnt, d_in, 0)
+                def d_in(j, cc):
+                    pltpu.make_async_copy(tiles_out.at[udst_row[j]],
+                                          dstbuf.at[j],
+                                          sem_di.at[j]).start()
+                    return cc
+
+                lax.fori_loop(0, cnt, d_in, 0)
 
             def d_compute(j, cur):
                 cur_uc, cur_lc, cur_l = cur
-                pltpu.make_async_copy(tiles_out.at[udst_s[j]],
+                pltpu.make_async_copy(tiles_out.at[udst_row[j]],
                                       dstbuf.at[j], sem_di.at[j]).wait()
-                li = udl_s[j]
-                uj = udu_s[j]
+                li = udl_row[j]
+                uj = udu_row[j]
                 ucj = lax.div(uj, i32(pch))
                 lcj = lax.div(li, i32(pch))
                 uc_ch = ucj != cur_uc
@@ -431,7 +449,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                 usl = pl.ds(pl.multiple_of((uj - ucj * pch) * nb, nb), nb)
                 dstbuf[j] = dstbuf[j] - prodrow[:, usl]
                 pltpu.make_async_copy(dstbuf.at[j],
-                                      tiles_out.at[udst_s[j]],
+                                      tiles_out.at[udst_row[j]],
                                       sem_do.at[j]).start()
                 return (ucj, lcj, li)
 
@@ -439,7 +457,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
             def d_wait(j, cc):
                 pltpu.make_async_copy(dstbuf.at[j],
-                                      tiles_out.at[udst_s[j]],
+                                      tiles_out.at[udst_row[j]],
                                       sem_do.at[j]).wait()
                 return cc
 
@@ -456,8 +474,8 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         return carry
 
     lax.fori_loop(0, bl, level, 0)
-    _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2)), 0).wait()
-    _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2)), 1).wait()
+    for w in range(5):
+        _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2)), w).wait()
 
 
 # Panel chunk width of the factorization kernel (its VMEM use is
@@ -508,9 +526,9 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.VMEM((_UCH, nb, nb), dt),         # dstbuf
             pltpu.SMEM((2, lid_w), jnp.int32),      # lid_s (double buf)
             pltpu.SMEM((2, uid_w), jnp.int32),      # uid_s (double buf)
-            pltpu.SMEM((row_w,), jnp.int32),        # udst_s
-            pltpu.SMEM((row_w,), jnp.int32),        # udl_s
-            pltpu.SMEM((row_w,), jnp.int32),        # udu_s
+            pltpu.SMEM((2, row_w), jnp.int32),      # udst_s (double buf)
+            pltpu.SMEM((2, row_w), jnp.int32),      # udl_s
+            pltpu.SMEM((2, row_w), jnp.int32),      # udu_s
             pltpu.SemaphoreType.DMA((2,)),          # sem_diag
             pltpu.SemaphoreType.DMA((2,)),          # sem_inv
             pltpu.SemaphoreType.DMA((pch,)),        # sem_l
@@ -519,7 +537,7 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.SemaphoreType.DMA((pch,)),        # sem_uo
             pltpu.SemaphoreType.DMA((_UCH,)),       # sem_di
             pltpu.SemaphoreType.DMA((_UCH,)),       # sem_do
-            pltpu.SemaphoreType.DMA((2, 2)),        # sem_tab (rows)
+            pltpu.SemaphoreType.DMA((2, 5)),        # sem_tab (rows)
             pltpu.SemaphoreType.DMA((3,)),          # sem_utab
         ],
     )
