@@ -287,6 +287,9 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
             return (pltpu.make_async_copy(src, dst, sem) if outward
                     else pltpu.make_async_copy(dst, src, sem))
 
+        nlc = lax.div(nl + i32(pch - 1), i32(pch))
+        nuc = lax.div(nu + i32(pch - 1), i32(pch))
+
         def l_chunk(lc, c):
             base = lc * pch
             cnt = jnp.minimum(nl - base, pch)
@@ -304,11 +307,20 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                                  preferred_element_type=dt, precision=hi)
             lax.fori_loop(0, cnt,
                           lambda i, c: (_l_copy(i, base, True).start(), c)[1], 0)
-            lax.fori_loop(0, cnt,
-                          lambda i, c: (_l_copy(i, base, True).wait(), c)[1], 0)
+
+            # multi-chunk levels must land writebacks before the next
+            # chunk reuses the buffer/semaphores and before Schur chunk
+            # reloads read these tiles; single-chunk levels defer the
+            # wait to the level barrier (overlaps the whole Schur phase)
+            @pl.when(nlc > 1)
+            def _():
+                lax.fori_loop(0, cnt,
+                              lambda i, c: (_l_copy(i, base, True).wait(),
+                                            c)[1], 0)
+
             return c
 
-        lax.fori_loop(0, lax.div(nl + i32(pch - 1), i32(pch)), l_chunk, 0)
+        lax.fori_loop(0, nlc, l_chunk, 0)
 
         def _u_copy(i, base, outward):
             src = upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)]
@@ -333,11 +345,15 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                                  preferred_element_type=dt, precision=hi)
             lax.fori_loop(0, cnt,
                           lambda i, c: (_u_copy(i, base, True).start(), c)[1], 0)
-            lax.fori_loop(0, cnt,
-                          lambda i, c: (_u_copy(i, base, True).wait(), c)[1], 0)
+
+            @pl.when(nuc > 1)
+            def _():
+                lax.fori_loop(0, cnt,
+                              lambda i, c: (_u_copy(i, base, True).wait(),
+                                            c)[1], 0)
+
             return c
 
-        nuc = lax.div(nu + i32(pch - 1), i32(pch))
         lax.fori_loop(0, nuc, u_chunk, 0)
 
         # ---- Schur updates, chunks of _UCH ----------------------------
@@ -345,7 +361,6 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         # are sorted by (u-chunk, l-chunk, l), and dst tiles are
         # disjoint from this level's diag/panel tiles and unique within
         # the level, so RMW traffic never races the panel writebacks.
-        nlc = lax.div(nl + i32(pch - 1), i32(pch))
         cur0 = (jnp.maximum(nuc - 1, 0), jnp.maximum(nlc - 1, 0), i32(-1))
 
         def chunk(c, cur):
@@ -471,6 +486,18 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         cdo.wait()
         cli.wait()
         cui.wait()
+
+        # single-chunk panel writebacks deferred from phase 1
+        @pl.when(nlc == 1)
+        def _():
+            lax.fori_loop(0, nl,
+                          lambda i, c: (_l_copy(i, 0, True).wait(), c)[1], 0)
+
+        @pl.when(nuc == 1)
+        def _():
+            lax.fori_loop(0, nu,
+                          lambda i, c: (_u_copy(i, 0, True).wait(), c)[1], 0)
+
         return carry
 
     lax.fori_loop(0, bl, level, 0)
