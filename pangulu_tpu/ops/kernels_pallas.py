@@ -470,13 +470,19 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
             cur = lax.fori_loop(0, cnt, d_compute, cur)
 
-            def d_wait(j, cc):
-                pltpu.make_async_copy(dstbuf.at[j],
-                                      tiles_out.at[udst_row[j]],
-                                      sem_do.at[j]).wait()
-                return cc
+            # the LAST chunk's writeback waits defer to the level
+            # barrier (they overlap the remaining level work); earlier
+            # chunks must land before their buffer slots are reused
+            @pl.when(c + 1 < nchunks)
+            def _():
+                def d_wait(j, cc):
+                    pltpu.make_async_copy(dstbuf.at[j],
+                                          tiles_out.at[udst_row[j]],
+                                          sem_do.at[j]).wait()
+                    return cc
 
-            lax.fori_loop(0, cnt, d_wait, 0)
+                lax.fori_loop(0, cnt, d_wait, 0)
+
             return cur
 
         nchunks = lax.div(nup + i32(_UCH - 1), i32(_UCH))
@@ -486,6 +492,15 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         cdo.wait()
         cli.wait()
         cui.wait()
+
+        # last Schur chunk's dst writebacks deferred from the chunk loop
+        @pl.when(nup > 0)
+        def _():
+            last = nup - (nchunks - 1) * i32(_UCH)
+            lax.fori_loop(0, last,
+                          lambda j, c: (pltpu.make_async_copy(
+                              dstbuf.at[j], tiles_out.at[udst_row[j]],
+                              sem_do.at[j]).wait(), c)[1], 0)
 
         # single-chunk panel writebacks deferred from phase 1
         @pl.when(nlc == 1)
