@@ -620,23 +620,35 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
                        *, nb, bl, npan):
     dt = x_out.dtype
     hi = lax.Precision.HIGHEST
+    i32 = jnp.int32
     x_out[:, :, :] = x_in[:, :, :]
 
-    def phase(k, nseg_tab, id_hbm, row_hbm, inv_slot):
-        # fetch the triangle inverse + this level's panel rows
-        ci = pltpu.make_async_copy(invs_hbm.at[k, inv_slot], invbuf,
-                                   sem_inv)
-        ci.start()
-        c1 = pltpu.make_async_copy(id_hbm.at[k], id_s, sem_tab.at[0])
-        c2 = pltpu.make_async_copy(row_hbm.at[k], row_s, sem_tab.at[1])
-        c1.start()
-        c2.start()
+    # Each phase's level-(k) inverse and index rows are prefetched
+    # double-buffered during level k_prev, so per level only the panel
+    # tile DMAs remain on the critical path (and they start as soon as
+    # the prefetched id row is available).
+    def _fetch(k, sl, id_hbm, row_hbm, inv_slot):
+        return (
+            pltpu.make_async_copy(invs_hbm.at[k, inv_slot],
+                                  invbuf.at[sl], sem_inv.at[sl]),
+            pltpu.make_async_copy(id_hbm.at[k], id_s.at[sl],
+                                  sem_tab.at[sl, 0]),
+            pltpu.make_async_copy(row_hbm.at[k], row_s.at[sl],
+                                  sem_tab.at[sl, 1]),
+        )
+
+    def phase(k, k_next, sl, nseg_tab, id_hbm, row_hbm, inv_slot):
+        ci, c1, c2 = _fetch(k, sl, id_hbm, row_hbm, inv_slot)
         c1.wait()
         c2.wait()
+        for c in _fetch(k_next, 1 - sl, id_hbm, row_hbm, inv_slot):
+            c.start()
         n = nseg_tab[k]
+        ids = id_s.at[sl]
+        rows = row_s.at[sl]
 
         def t_in(i, c):
-            pltpu.make_async_copy(tiles_hbm.at[id_s[i]],
+            pltpu.make_async_copy(tiles_hbm.at[ids[i]],
                                   tbuf.at[i], sem_t.at[i]).start()
             return c
 
@@ -645,15 +657,15 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
         # xk = inv @ x[k]  — dot_general with x stored [nrhs, seg, nb]:
         # out[r, i] = sum_j inv[i, j] * x[r, k, j]
         xk = lax.dot_general(
-            x_out[:, k, :], invbuf[:, :],
+            x_out[:, k, :], invbuf[sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=dt, precision=hi)
         x_out[:, k, :] = xk
 
         def t_apply(i, c):
-            pltpu.make_async_copy(tiles_hbm.at[id_s[i]],
+            pltpu.make_async_copy(tiles_hbm.at[ids[i]],
                                   tbuf.at[i], sem_t.at[i]).wait()
-            r = row_s[i]
+            r = rows[i]
             upd = lax.dot_general(
                 xk, tbuf[i],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -663,16 +675,29 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
 
         lax.fori_loop(0, n, t_apply, 0)
 
-    def fwd(k, carry):
-        phase(k, nl_tab, lid_hbm, lrow_hbm, 0)
-        return carry
+    def _sweep(nseg_tab, id_hbm, row_hbm, inv_slot, descending):
+        def lvl(i):
+            return jnp.asarray(bl - 1 - i if descending else i, i32)
 
-    def bwd(i, carry):
-        phase(bl - 1 - i, nuc_tab, ucid_hbm, ucrow_hbm, 1)
-        return carry
+        for c in _fetch(lvl(0), 0, id_hbm, row_hbm, inv_slot):
+            c.start()
 
-    lax.fori_loop(0, bl, fwd, 0)
-    lax.fori_loop(0, bl, bwd, 0)
+        def body(i, carry):
+            sl = lax.rem(jnp.asarray(i, i32), i32(2))
+            nxt = jnp.minimum(i + 1, i32(bl - 1))
+            phase(lvl(i), lvl(nxt), sl, nseg_tab, id_hbm, row_hbm,
+                  inv_slot)
+            return carry
+
+        lax.fori_loop(0, bl, body, 0)
+        # drain the final prefetch (semaphore balance)
+        sl_last = lax.rem(i32(bl), i32(2))
+        for c in _fetch(lvl(jnp.minimum(i32(bl - 1), i32(bl - 1))),
+                        sl_last, id_hbm, row_hbm, inv_slot):
+            c.wait()
+
+    _sweep(nl_tab, lid_hbm, lrow_hbm, 0, False)    # forward (L)
+    _sweep(nuc_tab, ucid_hbm, ucrow_hbm, 1, True)  # backward (U)
 
 
 # VMEM budget gate for the in-VMEM solution vector (the kernel's other
@@ -706,13 +731,13 @@ def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nb, nb), dt),                # invbuf
+            pltpu.VMEM((2, nb, nb), dt),             # invbuf (double buf)
             pltpu.VMEM((npan, nb, nb), dt),          # tbuf
-            pltpu.SMEM((row_w,), jnp.int32),         # id_s
-            pltpu.SMEM((row_w,), jnp.int32),         # row_s
-            pltpu.SemaphoreType.DMA(()),             # sem_inv
+            pltpu.SMEM((2, row_w), jnp.int32),       # id_s (double buf)
+            pltpu.SMEM((2, row_w), jnp.int32),       # row_s (double buf)
+            pltpu.SemaphoreType.DMA((2,)),           # sem_inv
             pltpu.SemaphoreType.DMA((npan,)),        # sem_t
-            pltpu.SemaphoreType.DMA((2,)),           # sem_tab
+            pltpu.SemaphoreType.DMA((2, 2)),         # sem_tab
         ],
     )
     return pl.pallas_call(
