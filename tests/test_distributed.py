@@ -106,3 +106,19 @@ def test_distributed_sptrsv_multi_rhs():
     dts = DistributedTriangularSolver(blocked, schedule, dist.layout, mesh)
     w = dts.solve(dist.dist_tiles, bs)
     np.testing.assert_allclose(w, xs, rtol=1e-8, atol=1e-8)
+
+
+def test_dist_non_square_mesh():
+    """(1, 2) grid: the reference's p*q rule for 2 ranks."""
+    import jax
+
+    from pangulu_tpu.api import InitOptions, gstrf, gstrs, init
+    from pangulu_tpu.models import poisson2d
+    from pangulu_tpu.utils.perf import residual_norm
+
+    a = poisson2d(10)
+    h = init(a, InitOptions(nb=16, dtype="r64", mesh_shape=(1, 2)))
+    gstrf(h)
+    b = np.asarray(a.to_scipy() @ np.ones(a.n))
+    x = gstrs(h, b)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10
