@@ -117,3 +117,20 @@ def test_rhs_length_mismatch(tmp_path):
     np.savetxt(p, np.ones(5))
     with pytest.raises(ValueError, match="rhs length"):
         read_rhs(p, 7, np.float64)
+
+
+def test_read_mtx_gz(tmp_path):
+    import gzip
+    import shutil
+
+    from pangulu_tpu.io.mmio import read_matrix, write_matrix
+    from pangulu_tpu.models import poisson2d
+
+    a = poisson2d(7)
+    p = tmp_path / "m.mtx"
+    write_matrix(p, a)
+    pgz = tmp_path / "m.mtx.gz"
+    with open(p, "rb") as fin, gzip.open(pgz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    b = read_matrix(pgz)
+    assert (a.to_scipy() != b.to_scipy()).nnz == 0
