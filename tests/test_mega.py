@@ -155,3 +155,22 @@ def test_mega_solve_recomputes_inverses():
     x = no_inv._solve_mega(jnp.asarray(tiles), b)
     assert no_inv.inv_tiles is not None
     np.testing.assert_allclose(x, x_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mega_multi_update_chunks():
+    """Levels with more than _UCH Schur updates exercise the
+    multi-chunk loop and the deferred last-chunk writeback waits."""
+    from pangulu_tpu.ops.kernels_pallas import _UCH
+
+    a = random_unsymmetric(200, 0.15, seed=13)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="mindeg"))
+    assert h.schedule.max_updates > _UCH  # 144 with this seed
+    bk = get_backend("pallas", nb=16, dtype=h.blocked.dtype)
+    t_mega = np.asarray(LUFactorizer(h.blocked, h.schedule, backend=bk,
+                                     dispatch="mega").factorize())
+    t_ref = np.asarray(LUFactorizer(h.blocked, h.schedule,
+                                    backend=get_backend("jax"),
+                                    dispatch="segmented").factorize())
+    nt = h.blocked.num_tiles
+    np.testing.assert_allclose(t_mega[:nt], t_ref[:nt],
+                               rtol=2e-4, atol=2e-4)
