@@ -450,7 +450,24 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
                     lax.fori_loop(0, lcnt, rwait, 0)
 
-                @pl.when((li != cur_l) | uc_ch | lc_ch)
+                recompute = (li != cur_l) | uc_ch | lc_ch
+                # width of the resident U chunk actually populated
+                ucnt_here = jnp.minimum(nu - ucj * pch, i32(pch))
+                half = pch // 2
+
+                @pl.when(recompute & (ucnt_here <= half) if half
+                         else recompute & False)
+                def _():
+                    # narrow U chunk: half-width dot (saves ~40% of the
+                    # row-product MXU time at typical fill)
+                    lsl = pl.ds(pl.multiple_of((li - lcj * pch) * nb, nb),
+                                nb)
+                    prodrow[:, : half * nb] = jnp.dot(
+                        lpan[lsl, :], upan[:, : half * nb],
+                        preferred_element_type=dt, precision=hi)
+
+                @pl.when(recompute & (ucnt_here > half) if half
+                         else recompute)
                 def _():
                     # one MXU dot: this L block against the whole
                     # resident U chunk; consecutive updates sharing it
