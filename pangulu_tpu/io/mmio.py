@@ -87,10 +87,15 @@ def write_matrix(path, a: CscMatrix) -> None:
 
 def read_rhs(path, n: int, dtype) -> np.ndarray:
     """Read a right-hand side: one value per line (reference example's
-    ``-r rhs`` file), or a MatrixMarket dense vector."""
+    ``-r rhs`` file), a MatrixMarket dense vector, or binary ``.npy``/
+    ``.npz`` (key ``b``)."""
     path = str(path)
     if path.endswith(".mtx"):
         b = np.asarray(scipy.io.mmread(path)).reshape(-1)
+    elif path.endswith(".npy"):
+        b = np.load(path).reshape(-1)
+    elif path.endswith(".npz"):
+        b = np.load(path)["b"].reshape(-1)
     else:
         b = np.loadtxt(path).reshape(-1)
     if b.shape[0] != n:

@@ -42,6 +42,16 @@ class PerfCounters:
         t = self.phase_time.get(phase, 0.0)
         return self.flops / t / 1e9 if t > 0 else 0.0
 
+    def to_dict(self) -> dict:
+        """JSON-ready snapshot (programmatic monitoring; the reference
+        only prints — this is the machine-readable counterpart)."""
+        return {
+            "phase_time_s": dict(self.phase_time),
+            "flops": self.flops,
+            "gflops_numeric": self.gflops(),
+            "kernels": dict(self.kernels),
+        }
+
     def summary(self) -> str:
         lines = ["[pangulu_tpu perf]"]
         for name, t in self.phase_time.items():

@@ -134,3 +134,30 @@ def test_read_mtx_gz(tmp_path):
         shutil.copyfileobj(fin, fout)
     b = read_matrix(pgz)
     assert (a.to_scipy() != b.to_scipy()).nnz == 0
+
+
+def test_read_rhs_binary(tmp_path):
+    from pangulu_tpu.io.mmio import read_rhs
+
+    b = np.arange(9.0)
+    np.save(tmp_path / "b.npy", b)
+    np.savez(tmp_path / "b.npz", b=b)
+    np.testing.assert_array_equal(
+        read_rhs(tmp_path / "b.npy", 9, np.float64), b)
+    np.testing.assert_array_equal(
+        read_rhs(tmp_path / "b.npz", 9, np.float64), b)
+
+
+def test_perf_to_dict():
+    import json
+
+    from pangulu_tpu.utils.perf import PerfCounters
+
+    p = PerfCounters()
+    with p.phase("numeric"):
+        pass
+    p.add_flops(10.0)
+    p.kernel_counts(getrf=2)
+    d = p.to_dict()
+    json.dumps(d)  # serializable
+    assert d["kernels"]["getrf"] == 2 and "numeric" in d["phase_time_s"]
