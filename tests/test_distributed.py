@@ -122,3 +122,25 @@ def test_dist_non_square_mesh():
     b = np.asarray(a.to_scipy() @ np.ones(a.n))
     x = gstrs(h, b)
     assert residual_norm(a.to_scipy(), x, b) < 1e-10
+
+
+def test_dist_refactorize_cycle():
+    """update_values + gstrf + gstrs across a mesh: distributed state
+    (layout, solver, sharded tiles) must rebuild cleanly per cycle."""
+    from pangulu_tpu.api import InitOptions, gstrf, gstrs, init, \
+        update_values
+    from pangulu_tpu.models import poisson2d
+    from pangulu_tpu.utils.perf import residual_norm
+
+    a = poisson2d(10)
+    s = a.to_scipy()
+    h = init(a, InitOptions(nb=16, dtype="r64", mesh_shape=(2, 2)))
+    rng = np.random.default_rng(5)
+    for it in range(3):
+        gstrf(h)
+        b = np.asarray(s @ np.ones(a.n))
+        x = gstrs(h, b)
+        assert residual_norm(s, x, b) < 1e-10, f"cycle {it}"
+        s = s.copy()
+        s.data = s.data * (1.0 + 0.02 * rng.standard_normal(s.nnz))
+        update_values(h, s)
