@@ -221,6 +221,9 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
     for w in range(5):
         _row_copy(0, 0, w).start()
+    # prologue diag prefetch (subsequent levels prefetch at the barrier)
+    pltpu.make_async_copy(tiles_out.at[diag_tab[0]], fbuf,
+                          sem_diag.at[0]).start()
 
     def level(k, carry):
         dix = diag_tab[k]
@@ -239,10 +242,10 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         udl_row = udl_s.at[sl]
         udu_row = udu_s.at[sl]
 
-        # ---- diagonal step -------------------------------------------
+        # ---- diagonal step (tile prefetched at the previous level's
+        # barrier — its last update had landed there) -------------------
         cin = pltpu.make_async_copy(tiles_out.at[dix], fbuf,
                                     sem_diag.at[0])
-        cin.start()
         # hoist the FIRST Schur chunk's dst loads: dst tiles are
         # disjoint from this level's diag/panel tiles, so they stream in
         # under the diag DMA + LU + panel work
@@ -530,11 +533,19 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
             lax.fori_loop(0, nu,
                           lambda i, c: (_u_copy(i, 0, True).wait(), c)[1], 0)
 
+        # every write affecting diag(k+1) has landed: prefetch it now so
+        # the next level's LU starts without a DMA wait
+        pltpu.make_async_copy(
+            tiles_out.at[diag_tab[jnp.minimum(k + 1, i32(bl - 1))]],
+            fbuf, sem_diag.at[0]).start()
         return carry
 
     lax.fori_loop(0, bl, level, 0)
     for w in range(5):
         _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2)), w).wait()
+    # drain the final diag prefetch
+    pltpu.make_async_copy(tiles_out.at[diag_tab[bl - 1]], fbuf,
+                          sem_diag.at[0]).wait()
 
 
 # Panel chunk width of the factorization kernel (its VMEM use is
