@@ -457,26 +457,24 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                 # width of the resident U chunk actually populated
                 ucnt_here = jnp.minimum(nu - ucj * pch, i32(pch))
                 half = pch // 2
+                lsl = pl.ds(pl.multiple_of((li - lcj * pch) * nb, nb), nb)
+                full_pred = (recompute & (ucnt_here > half) if half >= 1
+                             else recompute)
 
-                @pl.when(recompute & (ucnt_here <= half) if half
-                         else recompute & False)
-                def _():
-                    # narrow U chunk: half-width dot (saves ~40% of the
-                    # row-product MXU time at typical fill)
-                    lsl = pl.ds(pl.multiple_of((li - lcj * pch) * nb, nb),
-                                nb)
-                    prodrow[:, : half * nb] = jnp.dot(
-                        lpan[lsl, :], upan[:, : half * nb],
-                        preferred_element_type=dt, precision=hi)
+                if half >= 1:  # python guard: pch == 1 has no half branch
+                    @pl.when(recompute & (ucnt_here <= half))
+                    def _():
+                        # narrow U chunk: half-width dot (saves ~40% of
+                        # the row-product MXU time at typical fill)
+                        prodrow[:, : half * nb] = jnp.dot(
+                            lpan[lsl, :], upan[:, : half * nb],
+                            preferred_element_type=dt, precision=hi)
 
-                @pl.when(recompute & (ucnt_here > half) if half
-                         else recompute)
+                @pl.when(full_pred)
                 def _():
                     # one MXU dot: this L block against the whole
                     # resident U chunk; consecutive updates sharing it
                     # reduce to VPU subtracts
-                    lsl = pl.ds(pl.multiple_of((li - lcj * pch) * nb, nb),
-                                nb)
                     prodrow[:, :] = jnp.dot(
                         lpan[lsl, :], upan[:, :],
                         preferred_element_type=dt, precision=hi)
