@@ -1,0 +1,55 @@
+"""On-chip correctness sweep: mega engines across matrix families.
+
+Run on a real TPU after ANY change to ops/kernels_pallas.py:
+
+    python tools/sweep_tpu.py
+
+The shapes cover panel-chunk widths pch = 1, 2 and 8 and single/multi
+Schur chunks — Mosaic-only failures (type/alignment/semaphore rules)
+do NOT reproduce in the CPU interpret-mode tests (a zero-width vector
+slice at pch=1 shipped past 100 green tests and died only here).
+"""
+import time
+import numpy as np
+from pangulu_tpu.utils import enable_compilation_cache
+enable_compilation_cache()
+from pangulu_tpu.api import InitOptions, gstrf, gstrs, init, finalize
+from pangulu_tpu.models import (arrowhead, poisson2d, poisson3d,
+                                random_unsymmetric, smallworld, trefethen)
+from pangulu_tpu.utils.perf import residual_norm
+
+cases = [
+    ("trefethen(20)", trefethen(20)),
+    ("poisson2d(64)", poisson2d(64)),
+    ("smallworld(40)", smallworld(40, long_range=0.08, seed=3)),
+    ("random(5000,1e-3)", random_unsymmetric(5000, 1e-3, seed=7)),
+    ("arrowhead(2000)", arrowhead(2000)),
+]
+for name, a in cases:
+    b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
+    h = init(a, InitOptions(nb=128, dtype="r32"))
+    gstrf(h)
+    disp = h._factorizer.dispatch if h._factorizer else "?"
+    x = gstrs(h, b)
+    res = residual_norm(a.to_scipy(), x, b)
+    print(f"{name:22s} n={a.n:7d} dispatch={disp:9s} residual={res:.2e} "
+          f"{'OK' if res < 1e-4 else 'FAIL'}", flush=True)
+    finalize(h)
+
+# end-to-end at n=262k
+a = poisson3d(64)
+t0 = time.perf_counter()
+h = init(a, InitOptions(nb=128, dtype="r32", ordering="rcm",
+                        symbolic_mode="block"))
+t_init = time.perf_counter() - t0
+t0 = time.perf_counter()
+gstrf(h)
+t_f = time.perf_counter() - t0
+b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
+t0 = time.perf_counter()
+x = gstrs(h, b)
+t_s = time.perf_counter() - t0
+res = residual_norm(a.to_scipy(), x, b)
+print(f"poisson3d(64) n=262144 END-TO-END: init {t_init:.1f}s  "
+      f"gstrf {t_f:.1f}s (incl compile)  gstrs {t_s:.1f}s  "
+      f"residual {res:.2e}")
