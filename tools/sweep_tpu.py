@@ -20,14 +20,20 @@ from pangulu_tpu.utils.perf import residual_norm
 
 cases = [
     ("trefethen(20)", trefethen(20)),
+    ("poisson3d(16) mindeg", None),  # built below: multi-chunk Schur
     ("poisson2d(64)", poisson2d(64)),
     ("smallworld(40)", smallworld(40, long_range=0.08, seed=3)),
     ("random(5000,1e-3)", random_unsymmetric(5000, 1e-3, seed=7)),
     ("arrowhead(2000)", arrowhead(2000)),
 ]
 for name, a in cases:
+    if a is None:  # wide ragged levels -> hundreds of Schur chunks
+        a = poisson3d(16)
+        h = init(a, InitOptions(nb=128, dtype="r32", ordering="mindeg",
+                                symbolic_mode="block"))
+    else:
+        h = init(a, InitOptions(nb=128, dtype="r32"))
     b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
-    h = init(a, InitOptions(nb=128, dtype="r32"))
     gstrf(h)
     disp = h._factorizer.dispatch if h._factorizer else "?"
     x = gstrs(h, b)
