@@ -31,6 +31,7 @@ from pangulu_tpu.api import (
     gstrf,
     gstrs,
     init,
+    spsolve,
     update_values,
 )
 from pangulu_tpu.version import __version__
@@ -42,6 +43,7 @@ __all__ = [
     "gstrf",
     "gstrs",
     "gssv",
+    "spsolve",
     "update_values",
     "finalize",
     "__version__",

@@ -57,6 +57,9 @@ class InitOptions:
     mesh_shape: Optional[tuple] = None  # (p, q) for multi-chip; None=1 chip
     refine: int = -1             # iterative-refinement rounds in gstrs;
                                  # -1 = auto (2 for 32-bit types, 0 else)
+    compile_cache: bool = True   # persistent XLA compile cache (first
+                                 # gstrf on a new shape compiles once
+                                 # per machine, not once per process)
     profile_dir: Optional[str] = None  # jax.profiler trace of the numeric
                                        # phase (reference: -DPANGULU_PERF
                                        # timers; ours captures full XLA
@@ -100,6 +103,10 @@ def init(a, opts: InitOptions | None = None) -> Handle:
     """Reorder -> symbolic -> tile (reference: pangulu_init,
     pangulu.c:11-208)."""
     opts = opts or InitOptions()
+    if opts.compile_cache:
+        from pangulu_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
     dtype = opts.resolve_dtype()
     if opts.nb <= 0:
         opts.nb = 128
@@ -365,6 +372,20 @@ def finalize(handle: Handle) -> None:
     handle._factorizer = None
     handle._trisolver = None
     handle._dist = None
+
+
+def spsolve(a, b, **options):
+    """scipy-style one-shot solve: ``x = pangulu_tpu.spsolve(A, b)``.
+
+    ``options`` are :class:`InitOptions` fields (nb, dtype, ordering,
+    mesh_shape, ...).  For factor-once/solve-many or refactorization
+    workflows use the handle API or :class:`Solver` instead.
+    """
+    h = init(a, InitOptions(**options) if options else None)
+    try:
+        return gssv(h, b)
+    finally:
+        finalize(h)
 
 
 class Solver:

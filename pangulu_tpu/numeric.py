@@ -130,10 +130,11 @@ class LUFactorizer:
     """Runs gstrf on a blocked matrix.  Mirrors the reference handle's
     numeric phase (pangulu_gstrf, pangulu.c:211).
 
-    ``dispatch``: "fused" = single-dispatch fori_loop engine (TPU fast
-    path); "levels" = per-level bucketed dispatch (less padded compute,
-    more host round-trips); "auto" picks fused unless padding overhead
-    is extreme.
+    ``dispatch``: "mega" = single-launch Pallas kernel (TPU fast path);
+    "fused" = single-dispatch XLA fori_loop engine; "segmented" = fused
+    in signature-homogeneous runs (bounds padding on skewed schedules);
+    "levels" = per-level bucketed dispatch; "auto" = mega when eligible,
+    else fused/segmented by padding overhead.
     """
 
     # Above this padded/real work ratio the per-level engine wins.

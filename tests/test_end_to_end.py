@@ -162,3 +162,14 @@ def test_complex_embedding_matches_native():
 
     assert residual_norm(a.to_scipy(), x_emb, b) < 1e-10
     finalize(h)
+
+
+def test_spsolve_oneliner():
+    import pangulu_tpu
+
+    a = random_unsymmetric(70, 0.08, seed=2)
+    b = np.asarray(a.to_scipy() @ np.ones(a.n))
+    x = pangulu_tpu.spsolve(a, b, nb=16, dtype="r64")
+    from pangulu_tpu.utils.perf import residual_norm
+
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10
