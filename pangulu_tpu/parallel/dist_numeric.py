@@ -266,6 +266,9 @@ class DistributedLU:
             run, mesh=mesh,
             in_specs=(specs,) * 10,
             out_specs=specs,
+            # Pallas calls inside the body have no varying-mesh-axes
+            # annotation; collectives/masks are managed explicitly
+            check_vma=False,
         )
         return jax.jit(shard, donate_argnums=(0,))
 

@@ -133,7 +133,8 @@ class DistributedTriangularSolver:
 
         specs = P("gp", "gq")
         shard = jax.shard_map(run, mesh=self.mesh,
-                              in_specs=(specs,) * 7, out_specs=specs)
+                              in_specs=(specs,) * 7, out_specs=specs,
+                              check_vma=False)
         return jax.jit(shard, donate_argnums=(1,))
 
     def solve(self, dist_tiles, b: np.ndarray) -> np.ndarray:
