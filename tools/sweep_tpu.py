@@ -42,6 +42,19 @@ for name, a in cases:
           f"{'OK' if res < 1e-4 else 'FAIL'}", flush=True)
     finalize(h)
 
+# distributed engine on the real chip (1x1 mesh — catches Pallas-in-
+# shard_map issues the CPU-mesh tests cannot see: they pick the jax
+# backend inside shard_map)
+a = poisson2d(32)
+h = init(a, InitOptions(nb=128, dtype="r32", mesh_shape=(1, 1)))
+gstrf(h)
+b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
+x = gstrs(h, b)
+res = residual_norm(a.to_scipy(), x, b)
+print(f"{'dist 1x1 mesh':22s} n={a.n:7d} dispatch=shardmap  "
+      f"residual={res:.2e} {'OK' if res < 1e-4 else 'FAIL'}", flush=True)
+finalize(h)
+
 # end-to-end at n=262k
 a = poisson3d(64)
 t0 = time.perf_counter()
