@@ -144,3 +144,18 @@ def test_dist_refactorize_cycle():
         s = s.copy()
         s.data = s.data * (1.0 + 0.02 * rng.standard_normal(s.nnz))
         update_values(h, s)
+
+
+def test_dist_complex_embedding():
+    """Complex dtype via the real 2x2 embedding over a 2x2 mesh."""
+    from pangulu_tpu.api import InitOptions, gstrf, gstrs, init
+    from pangulu_tpu.models import random_unsymmetric
+    from pangulu_tpu.utils.perf import residual_norm
+
+    a = random_unsymmetric(80, 0.06, seed=9, dtype=np.complex128)
+    b = np.asarray(a.to_scipy() @ (np.ones(a.n) + 0.5j))
+    h = init(a, InitOptions(nb=16, dtype="cr64", complex_mode="embed",
+                            mesh_shape=(2, 2)))
+    gstrf(h)
+    x = gstrs(h, b)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10
