@@ -25,6 +25,7 @@ collectives.
 
 from pangulu_tpu.api import (
     InitOptions,
+    analyze,
     Solver,
     finalize,
     gssv,
@@ -38,6 +39,7 @@ from pangulu_tpu.version import __version__
 
 __all__ = [
     "InitOptions",
+    "analyze",
     "Solver",
     "init",
     "gstrf",

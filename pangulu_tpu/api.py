@@ -159,6 +159,13 @@ def init(a, opts: InitOptions | None = None) -> Handle:
         blocked = tile_matrix(ro.reordered, symb)
         schedule = build_schedule(blocked)
 
+    est = (blocked.num_tiles + 1) * opts.nb * opts.nb * np.dtype(
+        blocked.dtype).itemsize
+    if est > _HBM_WARN_BYTES and opts.mesh_shape is None:
+        log.warning(
+            "factor tile store is ~%.1f GiB — near or beyond one chip's "
+            "HBM; consider mesh_shape for multi-chip, a better ordering, "
+            "or a larger nb", est / 2 ** 30)
     log.info(config_banner(opts, a.n, a.nnz, opts.mesh_shape))
     log.info("symbolic nnz = %d (%s mode), block_length = %d, tiles = %d",
              symb.symbolic_nnz, symb_mode, symb.block_length,
@@ -181,6 +188,41 @@ def _use_complex_embedding(opts: InitOptions) -> bool:
     import jax as _jax
 
     return _jax.default_backend() == "tpu"
+
+
+def analyze(a, opts: InitOptions | None = None) -> dict:
+    """Symbolic-only analysis: run reorder + symbolic + tiling and
+    report what a factorization would cost, WITHOUT touching the
+    device.  (The reference prints its symbolic nnz at init,
+    pangulu_symbolic.c:246; this is the queryable version.)
+
+    Returns: n, nnz, block_length, tiles, fill_nnz (dense-tile
+    entries), flops (dense-tile model), factor_hbm_bytes,
+    ordering/symbolic modes used, and per-phase analysis times.
+    """
+    h = init(a, opts)
+    nb = h.blocked.nb
+    tiles = h.blocked.num_tiles
+    itemsize = np.dtype(h.blocked.dtype).itemsize
+    out = {
+        "n": h.blocked.n,
+        "nnz": int(h.reordering.reordered.nnz),
+        "nb": nb,
+        "block_length": h.schedule.block_length,
+        "tiles": tiles,
+        "fill_nnz": tiles * nb * nb,
+        "flops": h.schedule.flop_estimate(),
+        "factor_hbm_bytes": (tiles + 1) * nb * nb * itemsize,
+        "dtype": str(np.dtype(h.blocked.dtype)),
+        "phase_time_s": dict(h.perf.phase_time),
+    }
+    finalize(h)
+    return out
+
+
+# Soft guardrail: warn when the tile store alone approaches a single
+# chip's HBM (v5e: 16 GB; leave headroom for inverses + scratch).
+_HBM_WARN_BYTES = 12 * 2 ** 30
 
 
 def gstrf(handle: Handle) -> None:

@@ -173,3 +173,14 @@ def test_spsolve_oneliner():
     from pangulu_tpu.utils.perf import residual_norm
 
     assert residual_norm(a.to_scipy(), x, b) < 1e-10
+
+
+def test_analyze():
+    import pangulu_tpu
+
+    a = poisson2d(12)
+    info = pangulu_tpu.analyze(a, InitOptions(nb=16, dtype="r32"))
+    assert info["n"] == a.n
+    assert info["tiles"] > 0 and info["flops"] > 0
+    assert info["factor_hbm_bytes"] == (info["tiles"] + 1) * 16 * 16 * 4
+    assert "reorder" in info["phase_time_s"]
