@@ -352,7 +352,10 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
             r = b64 - a64 @ x64
             rn = float(np.linalg.norm(np.atleast_2d(r)))
             if prev is not None and rn >= prev * 0.5:
-                break  # stagnated — LU quality limits further gains
+                log.info("iterative refinement stagnated at residual "
+                         "%.2e — the factor quality (conditioning / "
+                         "f32 pivoting) limits further gains", rn)
+                break
             prev = rn
             dx = _solve_once(handle, r.astype(work_dtype))
             x64 = x64 + dx.astype(acc)
