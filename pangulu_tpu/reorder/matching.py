@@ -6,14 +6,15 @@ placing large entries on the diagonal, plus row/column scalings that
 bring the matrix close to an I-dominant one, so the unpivoted numeric
 factorization is stable.
 
-TPU-native design choice: the *matching* uses scipy's C implementation
-of min-weight full bipartite matching on the MC64 job-5 cost
-``c_ij = log(max_i |a_ij|) - log |a_ij|`` (same optimization problem as
-the reference's Dijkstra augmenting-path search).  The *scaling* uses
-Ruiz equilibration (iterated row/col inf-norm scaling) instead of the
-LP dual variables — same stabilization role as the reference's
-``exp()`` row/col factors (pangulu_reordering.c:655-663); exact-dual
-scaling is a planned native-code upgrade.
+Primary path: the native C++ sparse Jonker–Volgenant solver
+(native/pangulu_host.cpp pangulu_mc64) on the MC64 job-5 cost
+``c_ij = log(max_i |a_ij|) - log |a_ij|`` — the same optimization
+problem as the reference's Dijkstra augmenting-path search — with
+EXACT dual-variable scalings (unit matched diagonal, all scaled
+|entries| <= 1, like the reference's exp() factors,
+pangulu_reordering.c:655-663).  Fallback when the native lib is
+unavailable: scipy's min-weight full bipartite matching plus Ruiz
+equilibration (same stabilization role, inexact duals).
 
 Failure semantics match the reference: a structurally singular matrix
 degrades to the identity permutation with a warning
