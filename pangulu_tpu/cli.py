@@ -22,7 +22,7 @@ def main(argv=None):
     ap.add_argument("--dtype", default="r64",
                     choices=["r32", "r64", "cr32", "cr64"])
     ap.add_argument("--ordering", default="auto",
-                    choices=["auto", "mindeg", "rcm", "natural"])
+                    choices=["auto", "mindeg", "rcm", "nd", "natural"])
     ap.add_argument("--symbolic", default="auto",
                     choices=["auto", "scalar", "block"])
     ap.add_argument("--backend", default="auto",

@@ -40,6 +40,8 @@ def fill_reducing_order(a: CscMatrix, method: str = "auto") -> np.ndarray:
     if method == "rcm":
         return np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True),
                           dtype=np.int64)
+    if method == "nd":
+        return _nested_dissection(sym)
     if method == "mindeg":
         from pangulu_tpu import native
 
@@ -49,6 +51,80 @@ def fill_reducing_order(a: CscMatrix, method: str = "auto") -> np.ndarray:
             return order
         return _minimum_degree(sym)
     raise ValueError(f"unknown ordering method {method!r}")
+
+
+def _bfs_levels(adj: sp.csr_matrix, start: int) -> np.ndarray:
+    """Vectorized BFS level numbers (-1 = unreached)."""
+    n = adj.shape[0]
+    level = np.full(n, -1, dtype=np.int64)
+    frontier = np.zeros(n, dtype=bool)
+    frontier[start] = True
+    lvl = 0
+    while frontier.any():
+        level[frontier] = lvl
+        nxt = np.asarray(adj @ frontier) != 0
+        frontier = nxt & (level == -1)
+        lvl += 1
+    return level
+
+
+def _nested_dissection(sym: sp.csc_matrix, min_part: int = 96) -> np.ndarray:
+    """Simple BFS-separator nested dissection (the reference's METIS
+    role, pangulu_reordering.c:1080: order two halves first, the vertex
+    separator last, recurse).  Separators are median BFS level sets
+    from a pseudo-peripheral start — far from METIS quality, but the
+    classic asymptotics for mesh-like graphs; the auto policy in
+    :func:`pangulu_tpu.api.init` only picks it when it measurably
+    yields the smallest block pattern."""
+    n = sym.shape[0]
+    order: list = []
+
+    def leaf(nodes: np.ndarray):
+        sub = sym[nodes][:, nodes]
+        r = reverse_cuthill_mckee(sub.tocsr(), symmetric_mode=True)
+        order.extend(nodes[np.asarray(r)])
+
+    stack = [(np.arange(n, dtype=np.int64), False)]
+    # iterative post-order: (nodes, expanded); separators appended after
+    # both parts via the 'sep' marker entries
+    while stack:
+        nodes, is_sep = stack.pop()
+        if is_sep:
+            order.extend(nodes)
+            continue
+        if len(nodes) <= min_part:
+            leaf(nodes)
+            continue
+        sub = sym[nodes][:, nodes].tocsr()
+        deg = np.diff(sub.indptr)
+        start = int(np.argmin(deg))
+        lev = _bfs_levels(sub, start)
+        # pseudo-peripheral refinement: restart from a farthest node
+        far = int(np.argmax(np.where(lev >= 0, lev, -1)))
+        lev = _bfs_levels(sub, far)
+        unreached = lev < 0
+        maxl = int(lev.max())
+        if maxl < 2:
+            leaf(nodes)  # (near-)complete or tiny-diameter graph
+            continue
+        # separator = the level set balancing the two sides
+        counts = np.bincount(lev[~unreached], minlength=maxl + 1)
+        below = np.cumsum(counts) - counts
+        above = len(nodes) - np.cumsum(counts) - unreached.sum()
+        m = int(np.argmin(np.abs(below - above)[1:maxl])) + 1
+        a_part = nodes[(lev < m) & ~unreached]
+        b_part = nodes[((lev > m) & ~unreached) | unreached]
+        s_part = nodes[lev == m]
+        if len(a_part) == 0 or len(b_part) == 0:
+            leaf(nodes)
+            continue
+        stack.append((s_part, True))       # eliminated last
+        stack.append((b_part, False))
+        stack.append((a_part, False))
+
+    p = np.asarray(order, dtype=np.int64)
+    assert len(p) == n and len(np.unique(p)) == n
+    return p
 
 
 def _minimum_degree(sym: sp.csc_matrix) -> np.ndarray:

@@ -72,3 +72,21 @@ def test_reorder_roundtrip_transforms():
     w = np.linalg.solve(ro.reordered.to_scipy().todense(), bt)
     x_rec = ro.transform_x(np.asarray(w).ravel())
     np.testing.assert_allclose(x_rec, x, rtol=1e-9, atol=1e-9)
+
+
+def test_nested_dissection_ordering():
+    from pangulu_tpu.reorder.fill_reducing import fill_reducing_order
+
+    for a in (poisson2d(20), arrowhead(150)):
+        p = fill_reducing_order(a, method="nd")
+        assert sorted(p) == list(range(a.n))  # a permutation
+
+    # end-to-end correctness under nd
+    from pangulu_tpu.api import InitOptions, gssv, init
+    from pangulu_tpu.utils.perf import residual_norm
+
+    a = poisson2d(15)
+    b = np.asarray(a.to_scipy() @ np.ones(a.n))
+    h = init(a, InitOptions(nb=16, dtype="r64", ordering="nd"))
+    x = gssv(h, b)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10
