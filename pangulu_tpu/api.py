@@ -137,7 +137,8 @@ def init(a, opts: InitOptions | None = None) -> Handle:
         # scalar-fill-minimizing orderings there (measured 100x+ fewer
         # block flops on 3D Poisson) — but not always, so try both and
         # keep the smaller block pattern.
-        candidates = (["rcm", "nd"]
+        candidates = (["rcm"]
+                      + (["nd"] if a.n <= 500_000 else [])
                       + (["mindeg"] if a.n <= 100_000 else []))
         best = None
         for cand in candidates:
