@@ -649,78 +649,102 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
     i32 = jnp.int32
     x_out[:, :, :] = x_in[:, :, :]
 
-    # Each phase's level-(k) inverse and index rows are prefetched
-    # double-buffered during level k_prev, so per level only the panel
-    # tile DMAs remain on the critical path (and they start as soon as
-    # the prefetched id row is available).
-    def _fetch(k, sl, id_hbm, row_hbm, inv_slot):
+    # Fully software-pipelined sweeps: at entry to level k, its index
+    # rows, triangle inverse AND panel tiles are already in flight /
+    # landed (started one level earlier, double-buffered); level k's
+    # body prefetches k+1's panels and k+2's rows.
+    def _rows(k, sl, id_hbm, row_hbm):
         return (
-            pltpu.make_async_copy(invs_hbm.at[k, inv_slot],
-                                  invbuf.at[sl], sem_inv.at[sl]),
             pltpu.make_async_copy(id_hbm.at[k], id_s.at[sl],
                                   sem_tab.at[sl, 0]),
             pltpu.make_async_copy(row_hbm.at[k], row_s.at[sl],
                                   sem_tab.at[sl, 1]),
         )
 
-    def phase(k, k_next, sl, nseg_tab, id_hbm, row_hbm, inv_slot):
-        ci, c1, c2 = _fetch(k, sl, id_hbm, row_hbm, inv_slot)
-        c1.wait()
-        c2.wait()
-        for c in _fetch(k_next, 1 - sl, id_hbm, row_hbm, inv_slot):
-            c.start()
-        n = nseg_tab[k]
-        ids = id_s.at[sl]
-        rows = row_s.at[sl]
+    def _inv(k, sl, inv_slot):
+        return pltpu.make_async_copy(invs_hbm.at[k, inv_slot],
+                                     invbuf.at[sl], sem_inv.at[sl])
 
-        def t_in(i, c):
-            pltpu.make_async_copy(tiles_hbm.at[ids[i]],
-                                  tbuf.at[i], sem_t.at[i]).start()
-            return c
+    def _tile(sl, i, tid):
+        return pltpu.make_async_copy(tiles_hbm.at[tid],
+                                     tbuf.at[sl, i], sem_t.at[sl, i])
 
-        lax.fori_loop(0, n, t_in, 0)
-        ci.wait()
-        # xk = inv @ x[k]  — dot_general with x stored [nrhs, seg, nb]:
-        # out[r, i] = sum_j inv[i, j] * x[r, k, j]
-        xk = lax.dot_general(
-            x_out[:, k, :], invbuf[sl],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=dt, precision=hi)
-        x_out[:, k, :] = xk
-
-        def t_apply(i, c):
-            pltpu.make_async_copy(tiles_hbm.at[ids[i]],
-                                  tbuf.at[i], sem_t.at[i]).wait()
-            r = rows[i]
-            upd = lax.dot_general(
-                xk, tbuf[i],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=dt, precision=hi)
-            x_out[:, r, :] = x_out[:, r, :] - upd
-            return c
-
-        lax.fori_loop(0, n, t_apply, 0)
+    def _start_tiles(sl, n):
+        lax.fori_loop(
+            0, n,
+            lambda i, c: (_tile(sl, i, id_s[sl, i]).start(), c)[1], 0)
 
     def _sweep(nseg_tab, id_hbm, row_hbm, inv_slot, descending):
         def lvl(i):
-            return jnp.asarray(bl - 1 - i if descending else i, i32)
+            j = jnp.minimum(jnp.maximum(i, 0), i32(bl - 1))
+            return jnp.asarray(bl - 1 - j if descending else j, i32)
 
-        for c in _fetch(lvl(0), 0, id_hbm, row_hbm, inv_slot):
+        # prologue: rows(0)+inv(0) -> slot 0; rows(1)+inv(1) -> slot 1;
+        # panels(0) -> tbuf slot 0
+        for c in _rows(lvl(0), 0, id_hbm, row_hbm):
             c.start()
+        _inv(lvl(0), 0, inv_slot).start()
+        for c in _rows(lvl(1), 1, id_hbm, row_hbm):
+            c.start()
+        _inv(lvl(1), 1, inv_slot).start()
+        for c in _rows(lvl(0), 0, id_hbm, row_hbm):
+            c.wait()
+        _start_tiles(0, nseg_tab[lvl(0)])
 
         def body(i, carry):
             sl = lax.rem(jnp.asarray(i, i32), i32(2))
-            nxt = jnp.minimum(i + 1, i32(bl - 1))
-            phase(lvl(i), lvl(nxt), sl, nseg_tab, id_hbm, row_hbm,
-                  inv_slot)
+            k = lvl(i)
+            n = nseg_tab[k]
+            _inv(k, sl, inv_slot).wait()
+            xk = lax.dot_general(
+                x_out[:, k, :], invbuf[sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dt, precision=hi)
+            x_out[:, k, :] = xk
+
+            # prefetch level i+1's panels (its rows landed a level ago)
+            kn = lvl(i + 1)
+            for c in _rows(kn, 1 - sl, id_hbm, row_hbm):
+                c.wait()
+            _start_tiles(1 - sl, nseg_tab[kn])
+
+            def t_apply(t, c):
+                _tile(sl, t, id_s[sl, t]).wait()
+                upd = lax.dot_general(
+                    xk, tbuf[sl, t],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=dt, precision=hi)
+                r = row_s[sl, t]
+                x_out[:, r, :] = x_out[:, r, :] - upd
+                return c
+
+            lax.fori_loop(0, n, t_apply, 0)
+
+            # rows+inv for level i+2 reuse slot sl (now free)
+            knn = lvl(i + 2)
+            for c in _rows(knn, sl, id_hbm, row_hbm):
+                c.start()
+            _inv(knn, sl, inv_slot).start()
             return carry
 
         lax.fori_loop(0, bl, body, 0)
-        # drain the final prefetch (semaphore balance)
-        sl_last = lax.rem(i32(bl), i32(2))
-        for c in _fetch(lvl(jnp.minimum(i32(bl - 1), i32(bl - 1))),
-                        sl_last, id_hbm, row_hbm, inv_slot):
+
+        # drain (semaphore balance).  Start/wait ledger per sweep:
+        #   rows:  starts = bl + 2 (prologue 2, one per body);
+        #          waits  = bl + 1 (prologue 1, one per body)
+        #          -> ONE unwaited pair, from body(bl-1), slot (bl-1)%2
+        #   inv:   starts = bl + 2; waits = bl -> TWO unwaited
+        #   tiles: starts = bl + 1 batches; waits = bl batches
+        #          -> ONE unwaited batch, slot bl%2, size nseg(last lvl)
+        sl_last = lax.rem(i32(bl), i32(2))          # = 1 - (bl-1)%2
+        for c in _rows(lvl(i32(bl - 1)), 1 - sl_last, id_hbm, row_hbm):
             c.wait()
+        _inv(lvl(i32(bl - 1)), sl_last, inv_slot).wait()
+        _inv(lvl(i32(bl - 1)), 1 - sl_last, inv_slot).wait()
+        lax.fori_loop(
+            0, nseg_tab[lvl(i32(bl - 1))],
+            lambda i, c: (_tile(sl_last, i, id_s[sl_last, i]).wait(),
+                          c)[1], 0)
 
     _sweep(nl_tab, lid_hbm, lrow_hbm, 0, False)    # forward (L)
     _sweep(nuc_tab, ucid_hbm, ucrow_hbm, 1, True)  # backward (U)
@@ -758,11 +782,11 @@ def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, nb, nb), dt),             # invbuf (double buf)
-            pltpu.VMEM((npan, nb, nb), dt),          # tbuf
+            pltpu.VMEM((2, npan, nb, nb), dt),       # tbuf (double buf)
             pltpu.SMEM((2, row_w), jnp.int32),       # id_s (double buf)
             pltpu.SMEM((2, row_w), jnp.int32),       # row_s (double buf)
             pltpu.SemaphoreType.DMA((2,)),           # sem_inv
-            pltpu.SemaphoreType.DMA((npan,)),        # sem_t
+            pltpu.SemaphoreType.DMA((2, npan)),      # sem_t
             pltpu.SemaphoreType.DMA((2, 2)),         # sem_tab
         ],
     )
