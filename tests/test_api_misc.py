@@ -1,0 +1,42 @@
+"""API misc: error paths, finalize idempotency, banner, analyze."""
+
+import numpy as np
+import pytest
+
+from pangulu_tpu.api import InitOptions, finalize, gstrf, gstrs, init
+from pangulu_tpu.models import poisson2d
+from pangulu_tpu.utils.log import config_banner
+
+
+def test_gstrs_before_gstrf_raises():
+    h = init(poisson2d(6), InitOptions(nb=8, dtype="r64"))
+    with pytest.raises(RuntimeError, match="gstrf"):
+        gstrs(h, np.ones(h.blocked.n))
+
+
+def test_finalize_idempotent():
+    h = init(poisson2d(6), InitOptions(nb=8, dtype="r64"))
+    gstrf(h)
+    finalize(h)
+    finalize(h)  # second call is a no-op
+    assert h.factor_tiles is None
+    with pytest.raises(RuntimeError):
+        gstrs(h, np.ones(h.blocked.n))
+
+
+def test_config_banner_contents():
+    opts = InitOptions(nb=32, dtype="r32", ordering="rcm")
+    s = config_banner(opts, 100, 500, (2, 2))
+    for needle in ("n", "nnz", "r32", "rcm", "(2, 2)"):
+        assert str(needle) in s
+
+
+def test_invalid_dtype_rejected():
+    with pytest.raises(ValueError, match="dtype"):
+        init(poisson2d(4), InitOptions(nb=8, dtype="q128"))
+
+
+def test_invalid_complex_mode_rejected():
+    a = poisson2d(4).to_scipy().astype(np.complex128)
+    with pytest.raises(ValueError, match="complex_mode"):
+        init(a, InitOptions(nb=8, dtype="cr64", complex_mode="bogus"))
