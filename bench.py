@@ -58,6 +58,20 @@ def main():
     backend = get_backend("auto", nb=nb, dtype=handle.blocked.dtype)
     fac = LUFactorizer(handle.blocked, handle.schedule, backend=backend)
 
+    # Tunnel health probe: the sync round trip is normally ~26 ms; a
+    # congested tunnel (observed: 17-60+ s readbacks, infrastructure-
+    # side) invalidates wall-clock GFLOPS.  Warn on stderr so a low
+    # recorded number can be interpreted.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    device_sync(jnp.ones((8, 128)))
+    rtt = time.perf_counter() - t0
+    if rtt > 1.0:
+        print(f"WARNING: tunnel readback {rtt:.1f}s (normal ~0.03s) — "
+              f"device link is degraded; reported GFLOPS will be "
+              f"unrepresentative", file=sys.stderr)
+
     # Correctness gate: one synced run must produce a valid factor.
     tiles = fac.factorize()
     lmat, umat = gather_factor(handle.blocked, np.asarray(tiles))
