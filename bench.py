@@ -103,6 +103,10 @@ def main():
         "value": round(gflops, 3),
         "unit": "GFLOPS",
         "vs_baseline": round(gflops / BASELINE_GFLOPS, 3),
+        # context: device-link round trip during this run (~0.03 s
+        # healthy; 17-70+ s during observed infra congestion, which
+        # invalidates the wall-clock above — see BASELINE.md)
+        "tunnel_rtt_s": round(rtt, 3),
     }
     print(json.dumps(result))
 
