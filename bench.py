@@ -58,19 +58,35 @@ def main():
     backend = get_backend("auto", nb=nb, dtype=handle.blocked.dtype)
     fac = LUFactorizer(handle.blocked, handle.schedule, backend=backend)
 
-    # Tunnel health probe: the sync round trip is normally ~26 ms; a
+    # Tunnel health gate: the sync round trip is normally ~26 ms; a
     # congested tunnel (observed: 17-60+ s readbacks, infrastructure-
-    # side) invalidates wall-clock GFLOPS.  Warn on stderr so a low
-    # recorded number can be interpreted.
+    # side) invalidates wall-clock GFLOPS.  Instead of recording a
+    # garbage number (round 1 recorded 2.5 TF during a 334 s
+    # degradation; healthy band 3.1-3.4 TF), PROBE-AND-WAIT: retry the
+    # probe for up to ~10 minutes until the link is healthy, and flag
+    # the result if it never recovers.
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
-    device_sync(jnp.ones((8, 128)))
-    rtt = time.perf_counter() - t0
-    if rtt > 1.0:
+    def probe_rtt():
+        t0 = time.perf_counter()
+        device_sync(jnp.ones((8, 128)) + 0.0)
+        return time.perf_counter() - t0
+
+    probe_rtt()  # warm the probe's compile/cache
+    deadline = time.monotonic() + float(
+        os.environ.get("PANGULU_BENCH_HEALTH_WAIT_S", "600"))
+    rtt = probe_rtt()
+    degraded = rtt > 1.0
+    while degraded and time.monotonic() < deadline:
         print(f"WARNING: tunnel readback {rtt:.1f}s (normal ~0.03s) — "
-              f"device link is degraded; reported GFLOPS will be "
-              f"unrepresentative", file=sys.stderr)
+              f"waiting for the device link to recover", file=sys.stderr)
+        time.sleep(min(30.0, max(5.0, rtt)))
+        rtt = probe_rtt()
+        degraded = rtt > 1.0
+    if degraded:
+        print(f"WARNING: tunnel readback still {rtt:.1f}s after the "
+              f"health wait; reported GFLOPS will be unrepresentative",
+              file=sys.stderr)
 
     # Correctness gate: one synced run must produce a valid factor.
     tiles = fac.factorize()
@@ -98,15 +114,31 @@ def main():
         dt = min(dt, (time.perf_counter() - t0) / k)
 
     gflops = handle.schedule.flop_estimate() / dt / 1e9
+
+    # Dual accounting (reference-comparable): exact sparse LU flops and
+    # factor nnz from a scalar-mode symbolic pass on the same reordered
+    # matrix (the tiles/schedule above use the cheaper block mode).
+    from pangulu_tpu.symbolic import symbolic as _symbolic
+
+    symb_exact = _symbolic(handle.reordering.reordered, nb, mode="scalar")
+    useful_gflops = (symb_exact.sparse_flops() or 0.0) / dt / 1e9
+    nnz_per_s = symb_exact.symbolic_nnz / dt
+
     result = {
         "metric": "numeric_factorization_gflops",
         "value": round(gflops, 3),
         "unit": "GFLOPS",
         "vs_baseline": round(gflops / BASELINE_GFLOPS, 3),
+        # exact sparse-flop metrics, comparable with the reference's
+        # -DPANGULU_PERF GFLOPS line and nnz/s scaling metric
+        "useful_gflops": round(useful_gflops, 3),
+        "factor_nnz": int(symb_exact.symbolic_nnz),
+        "nnz_per_s": round(nnz_per_s, 1),
         # context: device-link round trip during this run (~0.03 s
-        # healthy; 17-70+ s during observed infra congestion, which
-        # invalidates the wall-clock above — see BASELINE.md)
+        # healthy; 17-70+ s during observed infra congestion — the
+        # health gate above waits for recovery before timing)
         "tunnel_rtt_s": round(rtt, 3),
+        "tunnel_degraded": bool(degraded),
     }
     print(json.dumps(result))
 

@@ -24,6 +24,11 @@
 
 extern "C" {
 
+// ABI version stamp: the ctypes loader rebuilds the .so when this does
+// not match (a stale binary from an older source otherwise survives
+// because the loader only builds when the file is absent).
+int64_t pangulu_abi_version() { return 2; }
+
 // ---------------------------------------------------------------------------
 // Elimination tree (Liu's algorithm) on a symmetric pattern in CSR.
 // ---------------------------------------------------------------------------
@@ -67,6 +72,37 @@ int64_t pangulu_fill_walk(int64_t n, const int64_t* indptr,
       while (visited[j] != i) {
         visited[j] = i;
         ++count;
+        if (block_mark) block_mark[bi * bl + j / nb] = 1;
+        j = parent[j];
+        if (j == -1 || j >= i) break;
+      }
+    }
+  }
+  return count;
+}
+
+// Variant also filling colcnt[j] = |{i > j : L(i,j) != 0}| (strictly-
+// lower per-column fill counts) — the inputs to the exact sparse LU
+// flop model (reference counts the same intersections at run time,
+// pangulu_kernel_interface.c:4-178; we count them once symbolically).
+int64_t pangulu_fill_walk_counts(int64_t n, const int64_t* indptr,
+                                 const int32_t* indices,
+                                 const int64_t* parent, int64_t nb,
+                                 uint8_t* block_mark, int64_t bl,
+                                 int64_t* colcnt) {
+  std::vector<int64_t> visited(n, -1);
+  for (int64_t j = 0; j < n; ++j) colcnt[j] = 0;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    visited[i] = i;
+    const int64_t bi = i / nb;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int64_t j = indices[p];
+      if (j >= i) continue;
+      while (visited[j] != i) {
+        visited[j] = i;
+        ++count;
+        ++colcnt[j];
         if (block_mark) block_mark[bi * bl + j / nb] = 1;
         j = parent[j];
         if (j == -1 || j >= i) break;

@@ -140,10 +140,17 @@ def init(a, opts: InitOptions | None = None) -> Handle:
         candidates = (["rcm"]
                       + (["nd"] if a.n <= 500_000 else [])
                       + (["mindeg"] if a.n <= 100_000 else []))
+        # The MC64 matching/scaling is identical for every candidate —
+        # compute it once, not once per ordering tried.
+        from pangulu_tpu.reorder.matching import mc64_scale_and_match
+
+        with perf.phase("reorder"):
+            match = mc64_scale_and_match(a, enable=opts.mc64)
         best = None
         for cand in candidates:
             with perf.phase("reorder"):
-                ro_c = reorder(a, mc64=opts.mc64, ordering=cand)
+                ro_c = reorder(a, mc64=opts.mc64, ordering=cand,
+                               match=match)
             with perf.phase("symbolic"):
                 symb_c = symbolic(ro_c.reordered, opts.nb, mode=symb_mode)
             ntiles = symb_c.block_full.nnz
@@ -160,6 +167,10 @@ def init(a, opts: InitOptions | None = None) -> Handle:
     with perf.phase("preprocess"):
         blocked = tile_matrix(ro.reordered, symb)
         schedule = build_schedule(blocked)
+    if symb.mode != "block":
+        # exact sparse accounting (reference GFLOPS-comparable);
+        # block mode has no scalar pattern to count from
+        perf.set_useful(symb.sparse_flops(), symb.symbolic_nnz)
 
     est = (blocked.num_tiles + 1) * opts.nb * opts.nb * np.dtype(
         blocked.dtype).itemsize

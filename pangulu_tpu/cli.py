@@ -55,6 +55,7 @@ def main(argv=None):
         ap.error("either -f/--file or --load-factor is required")
 
     import jax
+    import numpy as np
 
     if args.platform != "auto":
         try:
@@ -82,7 +83,22 @@ def main(argv=None):
 
     if args.load_factor:
         handle = load_factor(args.load_factor)
-        a = CscMatrix.from_scipy(handle.a_origin)
+        # The checkpoint records its own value type — the CLI --dtype
+        # default must not override it (a saved r32 factor would
+        # otherwise read the rhs as r64).
+        dtype = VALUE_DTYPES[handle.opts.dtype]
+        if np.dtype(dtype).itemsize >= 8:
+            jax.config.update("jax_enable_x64", True)
+        if handle.complex_embed is not None:
+            # a_origin is the 2n x 2n real embedding; the rhs and the
+            # residual belong to the ORIGINAL complex system (gstrs
+            # embeds/unembeds internally).
+            from pangulu_tpu.sparse import complex_unembed_matrix
+
+            a = CscMatrix.from_scipy(complex_unembed_matrix(
+                handle.a_origin, handle.complex_embed))
+        else:
+            a = CscMatrix.from_scipy(handle.a_origin)
     else:
         try:
             a = read_matrix(args.file, dtype=dtype)

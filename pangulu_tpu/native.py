@@ -40,17 +40,35 @@ def _build() -> bool:
         return False
 
 
+_ABI_VERSION = 2
+
+
+def _load_checked():
+    """dlopen + ABI stamp check; returns None on mismatch (stale .so)."""
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.pangulu_abi_version.restype = ctypes.c_int64
+        lib.pangulu_abi_version.argtypes = []
+        if lib.pangulu_abi_version() != _ABI_VERSION:
+            return None
+        return lib
+    except (OSError, AttributeError):
+        return None
+
+
 def get_lib():
     """The loaded native library, or None if unavailable."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
-        return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    lib = _load_checked() if os.path.exists(_LIB_PATH) else None
+    if lib is None:
+        # absent or stale: (re)build from source
+        if not _build():
+            return None
+        lib = _load_checked()
+    if lib is None:
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -61,6 +79,10 @@ def get_lib():
     lib.pangulu_fill_walk.argtypes = [ctypes.c_int64, i64p, i32p, i64p,
                                       ctypes.c_int64, u8p, ctypes.c_int64]
     lib.pangulu_fill_walk.restype = ctypes.c_int64
+    lib.pangulu_fill_walk_counts.argtypes = [
+        ctypes.c_int64, i64p, i32p, i64p, ctypes.c_int64, u8p,
+        ctypes.c_int64, i64p]
+    lib.pangulu_fill_walk_counts.restype = ctypes.c_int64
     lib.pangulu_mindeg.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
     lib.pangulu_mindeg.restype = None
     lib.pangulu_mc64.argtypes = [ctypes.c_int64, i64p, i32p, f64p, i64p,
@@ -109,6 +131,22 @@ def fill_walk(n, indptr, indices, parent, nb, bl):
         n, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
         _ptr(parent, ctypes.c_int64), nb, _ptr(mark, ctypes.c_uint8), bl)
     return int(count), mark.reshape(bl, bl).astype(bool)
+
+
+def fill_walk_counts(n, indptr, indices, parent, nb, bl):
+    """fill_walk + per-column strictly-lower L counts (exact sparse
+    flop accounting).  Returns (count, mark, colcnt) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices, parent = _i64(indptr), _i32(indices), _i64(parent)
+    mark = np.zeros(bl * bl, dtype=np.uint8)
+    colcnt = np.zeros(n, dtype=np.int64)
+    count = lib.pangulu_fill_walk_counts(
+        n, _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(parent, ctypes.c_int64), nb, _ptr(mark, ctypes.c_uint8), bl,
+        _ptr(colcnt, ctypes.c_int64))
+    return int(count), mark.reshape(bl, bl).astype(bool), colcnt
 
 
 def mindeg(n, indptr, indices):

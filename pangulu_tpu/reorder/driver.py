@@ -74,10 +74,15 @@ class Reordering:
 
 
 def reorder(a: CscMatrix, *, mc64: bool = True,
-            ordering: str = "auto") -> Reordering:
+            ordering: str = "auto", match=None) -> Reordering:
+    """``match``: optional precomputed ``(dr, dc, colperm)`` from
+    :func:`mc64_scale_and_match` — lets callers trying several
+    fill-reducing orderings (api.init ordering='auto') pay for the
+    matching once instead of once per candidate."""
     n = a.n
     s = a.to_scipy()
-    dr, dc, colperm = mc64_scale_and_match(a, enable=mc64)
+    dr, dc, colperm = (match if match is not None
+                       else mc64_scale_and_match(a, enable=mc64))
     a1 = sp.diags(dr.astype(s.dtype)) @ s @ sp.diags(dc.astype(s.dtype))
     a2 = sp.csc_matrix(a1)[:, colperm]
     perm = fill_reducing_order(CscMatrix.from_scipy(a2), method=ordering)

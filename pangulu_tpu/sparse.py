@@ -158,6 +158,16 @@ def complex_unembed_x(x: np.ndarray, cdtype) -> np.ndarray:
     return (x[0::2] + 1j * x[1::2]).astype(cdtype)
 
 
+def complex_unembed_matrix(emb, cdtype) -> sp.csc_matrix:
+    """Inverse of :func:`complex_embed_matrix`: recover the n x n
+    complex matrix from its 2n x 2n interleaved real embedding
+    (entry (i,j) = emb[2i,2j] + 1j*emb[2i+1,2j])."""
+    s = sp.csc_matrix(emb)
+    re = sp.csc_matrix(s[0::2, 0::2])
+    im = sp.csc_matrix(s[1::2, 0::2])
+    return sp.csc_matrix((re + 1j * im).astype(cdtype))
+
+
 def symmetrize_pattern(a: CscMatrix) -> sp.csc_matrix:
     """Structural A + A^T with explicit diagonal, values all ones.
 

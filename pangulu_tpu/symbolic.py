@@ -43,6 +43,22 @@ class SymbolicResult:
     block_lower: sp.csc_matrix   # bl x bl boolean: L block pattern (incl diag)
     block_full: sp.csc_matrix    # bl x bl boolean: L+U block pattern
     mode: str
+    lower_colcnt: np.ndarray | None = None  # |{i>j: L(i,j)}| per column
+                                            # (scalar mode only)
+
+    def sparse_flops(self) -> float | None:
+        """EXACT sparse LU flop count for the (symmetrized) fill
+        pattern — the number the reference reports as GFLOPS
+        (pangulu_kernel_interface.c:4-178 counts the same sparsity
+        intersections at run time; we count them once from the
+        symbolic column counts).  With lk = |L(:,k)| strictly below
+        the diagonal and uk = |U(k,:)| strictly right (= lk for the
+        symmetrized pattern): flops = sum_k lk + 2*lk*uk
+        (divisions + multiply-add updates).  None in block mode."""
+        if self.lower_colcnt is None:
+            return None
+        lk = self.lower_colcnt.astype(np.float64)
+        return float(np.sum(lk + 2.0 * lk * lk))
 
 
 def elimination_tree(sym: sp.csc_matrix) -> np.ndarray:
@@ -76,13 +92,14 @@ def elimination_tree(sym: sp.csc_matrix) -> np.ndarray:
 
 
 def _fill_walk(sym: sp.csc_matrix, parent: np.ndarray, nb: int,
-               block_mark: np.ndarray | None):
+               block_mark: np.ndarray | None,
+               colcnt: np.ndarray | None = None):
     """Row-subtree traversal enumerating L's fill entries.
 
     For each row i, walk from every a[i,k] (k<i) up the etree until a
     node already visited for this row; every node j touched is a fill
     entry L[i,j].  Returns |strictly-lower L| and (optionally) marks
-    block (i//nb, j//nb) for each entry.
+    block (i//nb, j//nb) and counts per-column entries for each entry.
     """
     n = sym.shape[0]
     csr = sym.tocsr()
@@ -90,12 +107,21 @@ def _fill_walk(sym: sp.csc_matrix, parent: np.ndarray, nb: int,
     if block_mark is not None:
         from pangulu_tpu import native
 
-        res = native.fill_walk(n, indptr, indices, parent, nb,
-                               block_mark.shape[0])
-        if res is not None:
-            count, mark = res
-            block_mark |= mark
-            return count
+        if colcnt is not None:
+            res = native.fill_walk_counts(n, indptr, indices, parent, nb,
+                                          block_mark.shape[0])
+            if res is not None:
+                count, mark, cc = res
+                block_mark |= mark
+                colcnt += cc
+                return count
+        else:
+            res = native.fill_walk(n, indptr, indices, parent, nb,
+                                   block_mark.shape[0])
+            if res is not None:
+                count, mark = res
+                block_mark |= mark
+                return count
     visited = np.full(n, -1, dtype=np.int64)
     count = 0
     for i in range(n):
@@ -110,6 +136,8 @@ def _fill_walk(sym: sp.csc_matrix, parent: np.ndarray, nb: int,
                 count += 1
                 if block_mark is not None:
                     block_mark[bi, j // nb] = True
+                if colcnt is not None:
+                    colcnt[j] += 1
                 j = parent[j]
                 if j == -1 or j >= i:
                     break
@@ -144,7 +172,8 @@ def symbolic(a: CscMatrix, nb: int, mode: str = "scalar") -> SymbolicResult:
     else:
         parent = elimination_tree(sym)
         mark = np.zeros((bl, bl), dtype=bool)
-        strict_lower = _fill_walk(sym, parent, nb, mark)
+        colcnt = np.zeros(n, dtype=np.int64)
+        strict_lower = _fill_walk(sym, parent, nb, mark, colcnt)
         # Block diagonal is always present (explicit diagonal entries).
         np.fill_diagonal(mark, True)
         lower = sp.csc_matrix(mark)
@@ -157,4 +186,5 @@ def symbolic(a: CscMatrix, nb: int, mode: str = "scalar") -> SymbolicResult:
     return SymbolicResult(
         n=n, nb=nb, block_length=bl, symbolic_nnz=int(symbolic_nnz),
         parent=parent, block_lower=lower, block_full=full, mode=mode,
+        lower_colcnt=colcnt if mode != "block" else None,
     )

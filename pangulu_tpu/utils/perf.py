@@ -20,6 +20,13 @@ class PerfCounters:
     def __init__(self):
         self.phase_time: dict[str, float] = {}
         self.flops: float = 0.0
+        # Dual flop accounting: ``flops`` is the dense-tile model (MXU
+        # flops actually executed — a utilization metric); ``useful_flops``
+        # is the EXACT sparse LU count for the fill pattern — the number
+        # the reference reports (pangulu_kernel_interface.c:4-178), so
+        # the two GFLOPS figures are directly comparable across solvers.
+        self.useful_flops: float | None = None
+        self.factor_nnz: int | None = None   # |L|+|U| scalar nnz
         self.kernels: dict[str, int] = {}
 
     @contextlib.contextmanager
@@ -38,9 +45,31 @@ class PerfCounters:
         for k, v in counts.items():
             self.kernels[k] = self.kernels.get(k, 0) + int(v)
 
+    def set_useful(self, sparse_flops, factor_nnz):
+        """Record the exact-sparse-flop / factor-nnz accounting (from
+        the scalar symbolic analysis); either may be None."""
+        if sparse_flops is not None:
+            self.useful_flops = float(sparse_flops)
+        if factor_nnz is not None:
+            self.factor_nnz = int(factor_nnz)
+
     def gflops(self, phase: str = "numeric") -> float:
         t = self.phase_time.get(phase, 0.0)
         return self.flops / t / 1e9 if t > 0 else 0.0
+
+    def useful_gflops(self, phase: str = "numeric") -> float | None:
+        if self.useful_flops is None:
+            return None
+        t = self.phase_time.get(phase, 0.0)
+        return self.useful_flops / t / 1e9 if t > 0 else 0.0
+
+    def nnz_per_s(self, phase: str = "numeric") -> float | None:
+        """Factor nnz / numeric time — the reference's derivable
+        scaling metric (BASELINE.md)."""
+        if self.factor_nnz is None:
+            return None
+        t = self.phase_time.get(phase, 0.0)
+        return self.factor_nnz / t if t > 0 else 0.0
 
     def to_dict(self) -> dict:
         """JSON-ready snapshot (programmatic monitoring; the reference
@@ -49,6 +78,10 @@ class PerfCounters:
             "phase_time_s": dict(self.phase_time),
             "flops": self.flops,
             "gflops_numeric": self.gflops(),
+            "useful_flops": self.useful_flops,
+            "useful_gflops_numeric": self.useful_gflops(),
+            "factor_nnz": self.factor_nnz,
+            "nnz_per_s": self.nnz_per_s(),
             "kernels": dict(self.kernels),
         }
 
@@ -58,7 +91,15 @@ class PerfCounters:
             lines.append(f"  {name:>12s} : {t:9.4f} s")
         if self.flops:
             lines.append(f"  {'flops':>12s} : {self.flops:.3e}"
-                         f"  ({self.gflops():.2f} GFLOPS numeric)")
+                         f"  ({self.gflops():.2f} GFLOPS numeric, "
+                         f"dense-tile model)")
+        if self.useful_flops is not None and self.useful_gflops():
+            lines.append(f"  {'useful':>12s} : {self.useful_flops:.3e}"
+                         f"  ({self.useful_gflops():.2f} GFLOPS, exact "
+                         f"sparse count)")
+        if self.factor_nnz is not None and self.nnz_per_s():
+            lines.append(f"  {'factor nnz':>12s} : {self.factor_nnz}"
+                         f"  ({self.nnz_per_s():.3e} nnz/s)")
         if self.kernels:
             ks = ", ".join(f"{k}={v}" for k, v in self.kernels.items())
             lines.append(f"  {'kernels':>12s} : {ks}")
