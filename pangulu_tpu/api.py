@@ -335,7 +335,7 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
     if handle._trisolver is None:
         backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
                               dtype=work_dtype)
-        if handle._dist is not None:
+        if handle._dist is not None and handle._dist.single is None:
             from pangulu_tpu.parallel.dist_sptrsv import (
                 DistributedTriangularSolver,
             )
@@ -343,6 +343,14 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
             handle._trisolver = DistributedTriangularSolver(
                 handle.blocked, handle.schedule, handle._dist.layout,
                 handle._dist.mesh, backend=backend, perf=handle.perf)
+        elif handle._dist is not None:
+            # 1x1 mesh delegated to the single-chip engine: solve with
+            # the single-chip solver too (Pallas mega_solve on TPU,
+            # reusing the factorization's persisted triangle inverses)
+            handle._trisolver = TriangularSolver(
+                handle.blocked, handle.schedule, backend=backend,
+                perf=handle.perf,
+                inv_tiles=handle._dist.single.inv_tiles)
         else:
             inv_tiles = getattr(handle._factorizer, "inv_tiles", None)
             handle._trisolver = TriangularSolver(

@@ -112,11 +112,28 @@ def gather_tiles(blocked: BlockedMatrix, layout: DistLayout,
 
 
 class DistributedLU:
-    """Multi-chip gstrf executor."""
+    """Multi-chip gstrf executor.
+
+    Two regimes (matching the reference, whose fastest kernels run
+    INSIDE the distributed engine, pangulu_numeric.c:932-1012):
+
+    * ``p*q == 1``: no communication exists — delegate wholesale to the
+      single-chip :class:`~pangulu_tpu.numeric.LUFactorizer` (the
+      Pallas mega-kernel on TPU), exactly as the reference with
+      ``mpirun -np 1`` runs its CUDA kernels with no MPI traffic.
+      ``force_collective=True`` keeps the shard_map engine (testing).
+    * ``p*q > 1``: the level loop runs on-device inside ``shard_map``
+      in SEGMENTS of consecutive levels sharing one bucketed
+      (panel, update) width signature — each segment is a single
+      dispatch padded only to ITS OWN maxima, not the schedule-wide
+      ones (orderings with skewed level widths otherwise pay the
+      global max at every level).
+    """
 
     def __init__(self, blocked: BlockedMatrix, schedule: Schedule | None,
                  mesh_shape, backend: KernelBackend | None = None,
-                 perf: PerfCounters | None = None, mesh: Mesh | None = None):
+                 perf: PerfCounters | None = None, mesh: Mesh | None = None,
+                 force_collective: bool = False):
         self.blocked = blocked
         self.schedule = schedule or build_schedule(blocked)
         self.backend = backend or get_backend(
@@ -129,8 +146,19 @@ class DistributedLU:
         self.mesh = mesh
         self.p, self.q = mesh.devices.shape
         self.layout = build_layout(blocked, self.p, self.q)
-        self._levels = self._put_tables(self._prepare_levels())
-        self._step = self._build_step()
+        self.single = None
+        if self.p * self.q == 1 and not force_collective:
+            from pangulu_tpu.numeric import LUFactorizer
+
+            self.single = LUFactorizer(blocked, self.schedule,
+                                       backend=self.backend,
+                                       perf=self.perf)
+            self._segments = None
+        else:
+            self._segments = [
+                (kvec, self._put_tables(tables), self._get_step(
+                    (len(kvec),) + sig))
+                for kvec, sig, tables in self._prepare_levels()]
 
     def _put_tables(self, tables: dict) -> dict:
         """Ship the [p, q, ...] index tables to their owning devices
@@ -147,73 +175,126 @@ class DistributedLU:
     # ---- host-side per-level index tables ------------------------------
 
     def _prepare_levels(self):
+        """Vectorized (pure numpy — no per-update Python loops; the
+        bench problem has millions of updates) segment table builder.
+        Yields (kvec, (NL, NU, NUP), tables) per segment."""
+        from pangulu_tpu.schedule import bucket, group_runs
+
         lay, p, q = self.layout, self.p, self.q
         scratch = lay.lmax - 1
         bl = self.schedule.block_length
-        # Global maxima: one shape for every level so the whole level
-        # loop runs on-device in one dispatch (fused engine).
-        nlp = max(self.schedule.max_lpanel, 1)
-        nup = max(self.schedule.max_upanel, 1)
-        # max updates landing on any single device at any level
-        nupd = 1
-        per_dev_updates = []
-        for lev in self.schedule.levels:
-            counts = np.zeros((p, q), dtype=np.int64)
-            triples = [[[] for _ in range(q)] for _ in range(p)]
-            for dst, li, ui in zip(lev.upd_dst, lev.upd_l, lev.upd_u):
-                r = lay.tile_owner_r[dst]
-                c = lay.tile_owner_c[dst]
-                triples[r][c].append((lay.tile_slot[dst], li, ui))
-                counts[r, c] += 1
-            per_dev_updates.append(triples)
-            nupd = max(nupd, int(counts.max()))
+        levels = self.schedule.levels
+        slot = lay.tile_slot
 
-        diag_slot = np.full((p, q, bl), scratch, dtype=np.int32)
-        l_slot = np.full((p, q, bl, nlp), scratch, dtype=np.int32)
-        l_mask = np.zeros((p, q, bl, nlp), dtype=bool)
-        u_slot = np.full((p, q, bl, nup), scratch, dtype=np.int32)
-        u_mask = np.zeros((p, q, bl, nup), dtype=bool)
-        upd_dst = np.full((p, q, bl, nupd), scratch, dtype=np.int32)
-        upd_l = np.zeros((p, q, bl, nupd), dtype=np.int32)
-        upd_u = np.zeros((p, q, bl, nupd), dtype=np.int32)
-        upd_mask = np.zeros((p, q, bl, nupd), dtype=bool)
+        nl_k = np.array([len(l.lpanel) for l in levels], dtype=np.int64)
+        nu_k = np.array([len(l.upanel) for l in levels], dtype=np.int64)
+        nup_k = np.array([len(l.upd_dst) for l in levels], dtype=np.int64)
 
-        for lev, triples in zip(self.schedule.levels, per_dev_updates):
-            k = lev.k
-            kr, kc = k % p, k % q
-            diag_slot[kr, kc, k] = lay.tile_slot[lev.diag]
-            for t, (tid, bi) in enumerate(zip(lev.lpanel, lev.lrows)):
-                r = bi % p
-                l_slot[r, kc, k, t] = lay.tile_slot[tid]
-                l_mask[r, kc, k, t] = True
-            for t, (tid, bj) in enumerate(zip(lev.upanel, lev.ucols)):
-                c = bj % q
-                u_slot[kr, c, k, t] = lay.tile_slot[tid]
-                u_mask[kr, c, k, t] = True
-            for r in range(p):
-                for c in range(q):
-                    for t, (s, li, ui) in enumerate(triples[r][c]):
-                        upd_dst[r, c, k, t] = s
-                        upd_l[r, c, k, t] = li
-                        upd_u[r, c, k, t] = ui
-                        upd_mask[r, c, k, t] = True
-        return dict(diag_slot=diag_slot, l_slot=l_slot, l_mask=l_mask,
-                    u_slot=u_slot, u_mask=u_mask, upd_dst=upd_dst,
-                    upd_l=upd_l, upd_u=upd_u, upd_mask=upd_mask)
+        def _cat(arrs, dtype=np.int64):
+            arrs = [np.asarray(a, dtype=dtype) for a in arrs if len(a)]
+            return (np.concatenate(arrs) if arrs
+                    else np.empty(0, dtype=dtype))
+
+        # updates, flattened over every level
+        u_lev = np.repeat(np.arange(bl), nup_k)
+        u_dst = _cat([l.upd_dst for l in levels])
+        u_l = _cat([l.upd_l for l in levels])
+        u_u = _cat([l.upd_u for l in levels])
+        u_r = lay.tile_owner_r[u_dst] if len(u_dst) else u_dst
+        u_c = lay.tile_owner_c[u_dst] if len(u_dst) else u_dst
+        # per-(level, device) slot position: stable-sort by group key,
+        # then index-within-group
+        if len(u_dst):
+            key = (u_lev * p + u_r) * q + u_c
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            idx = np.arange(len(ks))
+            grp_start = np.maximum.accumulate(
+                np.where(np.r_[True, ks[1:] != ks[:-1]], idx, 0))
+            pos = np.empty_like(idx)
+            pos[order] = idx - grp_start
+            counts = np.bincount(key, minlength=bl * p * q)
+            dev_nupd_k = counts.reshape(bl, p, q).max(axis=(1, 2))
+        else:
+            pos = u_dst
+            dev_nupd_k = np.zeros(bl, dtype=np.int64)
+
+        # panels, flattened (position within the level's panel list)
+        l_lev = np.repeat(np.arange(bl), nl_k)
+        l_tid = _cat([l.lpanel for l in levels])
+        l_bi = _cat([l.lrows for l in levels])
+        l_pos = (np.arange(len(l_lev))
+                 - np.repeat(np.r_[0, np.cumsum(nl_k)[:-1]], nl_k))
+        g_lev = np.repeat(np.arange(bl), nu_k)
+        g_tid = _cat([l.upanel for l in levels])
+        g_bj = _cat([l.ucols for l in levels])
+        g_pos = (np.arange(len(g_lev))
+                 - np.repeat(np.r_[0, np.cumsum(nu_k)[:-1]], nu_k))
+
+        sig = [(bucket(max(int(nl_k[k]), 1)),
+                bucket(max(int(nu_k[k]), 1)),
+                bucket(max(int(dev_nupd_k[k]), 1)))
+               for k in range(bl)]
+        out = []
+        for s0, s1, (NL, NU, NUP) in group_runs(sig, min_run=16):
+            seg = s1 - s0
+            kvec = np.arange(s0, s1, dtype=np.int32)
+            diag_slot = np.full((p, q, seg), scratch, dtype=np.int32)
+            karr = np.arange(s0, s1)
+            diag = np.array([levels[k].diag for k in karr])
+            diag_slot[karr % p, karr % q, karr - s0] = slot[diag]
+
+            l_slot = np.full((p, q, seg, NL), scratch, dtype=np.int32)
+            l_mask = np.zeros((p, q, seg, NL), dtype=bool)
+            m = (l_lev >= s0) & (l_lev < s1)
+            l_slot[l_bi[m] % p, l_lev[m] % q, l_lev[m] - s0,
+                   l_pos[m]] = slot[l_tid[m]]
+            l_mask[l_bi[m] % p, l_lev[m] % q, l_lev[m] - s0,
+                   l_pos[m]] = True
+
+            u_slot = np.full((p, q, seg, NU), scratch, dtype=np.int32)
+            u_mask = np.zeros((p, q, seg, NU), dtype=bool)
+            m = (g_lev >= s0) & (g_lev < s1)
+            u_slot[g_lev[m] % p, g_bj[m] % q, g_lev[m] - s0,
+                   g_pos[m]] = slot[g_tid[m]]
+            u_mask[g_lev[m] % p, g_bj[m] % q, g_lev[m] - s0,
+                   g_pos[m]] = True
+
+            upd_dst = np.full((p, q, seg, NUP), scratch, dtype=np.int32)
+            upd_l = np.zeros((p, q, seg, NUP), dtype=np.int32)
+            upd_u = np.zeros((p, q, seg, NUP), dtype=np.int32)
+            upd_mask = np.zeros((p, q, seg, NUP), dtype=bool)
+            m = (u_lev >= s0) & (u_lev < s1)
+            upd_dst[u_r[m], u_c[m], u_lev[m] - s0, pos[m]] = slot[u_dst[m]]
+            upd_l[u_r[m], u_c[m], u_lev[m] - s0, pos[m]] = u_l[m]
+            upd_u[u_r[m], u_c[m], u_lev[m] - s0, pos[m]] = u_u[m]
+            upd_mask[u_r[m], u_c[m], u_lev[m] - s0, pos[m]] = True
+
+            out.append((kvec, (NL, NU, NUP), dict(
+                diag_slot=diag_slot, l_slot=l_slot, l_mask=l_mask,
+                u_slot=u_slot, u_mask=u_mask, upd_dst=upd_dst,
+                upd_l=upd_l, upd_u=upd_u, upd_mask=upd_mask)))
+        return out
 
     # ---- device step ----------------------------------------------------
 
-    def _build_step(self):
+    def _get_step(self, shape_key):
+        """Jitted per-segment step (cached per table signature)."""
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if shape_key in cache:
+            return cache[shape_key]
         backend = self.backend
         p, q = self.p, self.q
         mesh = self.mesh
-        bl = self.schedule.block_length
+        seg_len = shape_key[0]
 
-        def run(tiles, diag_slot, l_slot, l_mask, u_slot, u_mask,
+        def run(tiles, kvec, diag_slot, l_slot, l_mask, u_slot, u_mask,
                 upd_dst, upd_l, upd_u, upd_mask):
             # shapes inside shard_map: tiles [1,1,L,nb,nb]; tables
-            # [1,1,bl,...] — drop the unit mesh dims, loop levels
-            # on-device.
+            # [1,1,seg,...]; kvec [seg] replicated — drop the unit mesh
+            # dims, loop the segment's levels on-device.
             tiles = tiles[0, 0]
             diag_slot = diag_slot[0, 0]
             l_slot, l_mask = l_slot[0, 0], l_mask[0, 0]
@@ -224,57 +305,66 @@ class DistributedLU:
             my_r = jax.lax.axis_index("gp")
             my_c = jax.lax.axis_index("gq")
 
-            def body(k, tiles):
+            def body(i, tiles):
+                k = kvec[i]
                 is_owner = jnp.logical_and(my_r == k % p, my_c == k % q)
                 # 1. diag broadcast (masked psum over both axes), then
                 #    redundant GETRF + inverses everywhere.
-                local_diag = tiles[diag_slot[k]]
+                local_diag = tiles[diag_slot[i]]
                 contrib = jnp.where(is_owner, local_diag,
                                     jnp.zeros_like(local_diag))
                 diag_a = jax.lax.psum(contrib, ("gp", "gq"))
                 diag_f, linv, uinv = backend.diag_factor_invert(diag_a, None)
-                tiles = tiles.at[diag_slot[k]].set(
-                    jnp.where(is_owner, diag_f, tiles[diag_slot[k]]))
+                tiles = tiles.at[diag_slot[i]].set(
+                    jnp.where(is_owner, diag_f, tiles[diag_slot[i]]))
                 # 2. panel solves + masked-psum broadcasts.
-                lm = l_mask[k][:, None, None]
-                lblk = jnp.matmul(tiles[l_slot[k]], uinv,
+                lm = l_mask[i][:, None, None]
+                lblk = jnp.matmul(tiles[l_slot[i]], uinv,
                                   preferred_element_type=dt)
                 lblk = jnp.where(lm, lblk, jnp.zeros_like(lblk))
-                tiles = tiles.at[l_slot[k]].set(
-                    jnp.where(lm, lblk, tiles[l_slot[k]]))
+                tiles = tiles.at[l_slot[i]].set(
+                    jnp.where(lm, lblk, tiles[l_slot[i]]))
                 lpanel = jax.lax.psum(lblk, "gq")
-                um = u_mask[k][:, None, None]
-                ublk = jnp.matmul(linv, tiles[u_slot[k]],
+                um = u_mask[i][:, None, None]
+                ublk = jnp.matmul(linv, tiles[u_slot[i]],
                                   preferred_element_type=dt)
                 ublk = jnp.where(um, ublk, jnp.zeros_like(ublk))
-                tiles = tiles.at[u_slot[k]].set(
-                    jnp.where(um, ublk, tiles[u_slot[k]]))
+                tiles = tiles.at[u_slot[i]].set(
+                    jnp.where(um, ublk, tiles[u_slot[i]]))
                 upanel = jax.lax.psum(ublk, "gp")
                 # 3. local Schur updates.
-                prod = jnp.matmul(lpanel[upd_l[k]], upanel[upd_u[k]],
+                prod = jnp.matmul(lpanel[upd_l[i]], upanel[upd_u[i]],
                                   preferred_element_type=dt)
-                prod = jnp.where(upd_mask[k][:, None, None], prod,
+                prod = jnp.where(upd_mask[i][:, None, None], prod,
                                  jnp.zeros_like(prod))
-                tiles = tiles.at[upd_dst[k]].add(-prod)
+                tiles = tiles.at[upd_dst[i]].add(-prod)
                 return tiles
 
-            tiles = jax.lax.fori_loop(0, bl, body, tiles)
+            tiles = jax.lax.fori_loop(0, seg_len, body, tiles)
             return tiles[None, None]
 
         specs = P("gp", "gq")
         shard = jax.shard_map(
             run, mesh=mesh,
-            in_specs=(specs,) * 10,
+            in_specs=(specs, P()) + (specs,) * 9,
             out_specs=specs,
             # Pallas calls inside the body have no varying-mesh-axes
             # annotation; collectives/masks are managed explicitly
             check_vma=False,
         )
-        return jax.jit(shard, donate_argnums=(0,))
+        step = jax.jit(shard, donate_argnums=(0,))
+        cache[shape_key] = step
+        return step
 
     # ---- driver ----------------------------------------------------------
 
     def factorize(self, dist_tiles=None):
+        if self.single is not None:
+            # 1x1 mesh: single-chip fast path (Pallas mega-kernel on
+            # TPU) — identical math, no collectives to pay for.
+            tiles = self.single.factorize()
+            self.dist_tiles = tiles
+            return np.asarray(tiles)
         if dist_tiles is None:
             from pangulu_tpu.parallel.multihost import put_grid_sharded
 
@@ -287,13 +377,16 @@ class DistributedLU:
                     self.mesh, shape,
                     lambda r, c: scatter_tiles_shard(
                         self.blocked, self.layout, r, c))
-        t = self._levels
+        from pangulu_tpu.parallel.multihost import put_replicated
+
         ctx = jax.default_matmul_precision("highest")
         with self.perf.phase("numeric"), ctx:
-            dist_tiles = self._step(
-                dist_tiles, t["diag_slot"], t["l_slot"], t["l_mask"],
-                t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],
-                t["upd_u"], t["upd_mask"])
+            for kvec, t, step in self._segments:
+                dist_tiles = step(
+                    dist_tiles, put_replicated(self.mesh, kvec),
+                    t["diag_slot"], t["l_slot"], t["l_mask"],
+                    t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],
+                    t["upd_u"], t["upd_mask"])
             dist_tiles = device_sync(dist_tiles)
         self.perf.add_flops(self.schedule.flop_estimate())
         self.dist_tiles = dist_tiles

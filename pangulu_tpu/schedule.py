@@ -131,23 +131,7 @@ class Schedule:
         sig = [(bucket(max(len(l.lpanel), 1)),
                 bucket(max(len(l.upanel), 1)),
                 bucket(max(len(l.upd_dst), 1))) for l in self.levels]
-        # group consecutive equal signatures
-        runs = []  # (start, end_exclusive, sig)
-        s = 0
-        for i in range(1, len(sig) + 1):
-            if i == len(sig) or sig[i] != sig[s]:
-                runs.append([s, i, sig[s]])
-                s = i
-        # merge short runs into the previous (or next) run
-        merged = []
-        for run in runs:
-            if merged and (run[1] - run[0] < min_run
-                           or merged[-1][1] - merged[-1][0] < min_run):
-                prev = merged[-1]
-                prev[1] = run[1]
-                prev[2] = tuple(max(a, b) for a, b in zip(prev[2], run[2]))
-            else:
-                merged.append(run)
+        merged = group_runs(sig, min_run)
         out = []
         for start, end, (nl, nu, np_) in merged:
             seg = end - start
@@ -331,6 +315,29 @@ def build_schedule(blocked: BlockedMatrix) -> Schedule:
         block_length=bl, nb=blocked.nb, levels=levels,
         n_tstrf=n_tstrf, n_gessm=n_gessm, n_ssssm=n_ssssm,
     )
+
+
+def group_runs(sig: list, min_run: int) -> list:
+    """Group consecutive equal per-level signatures into runs and merge
+    runs shorter than ``min_run`` into their predecessor (elementwise-
+    max signature) — bounds the number of distinct compiled segments.
+    Returns [[start, end_exclusive, sig], ...]."""
+    runs = []
+    s = 0
+    for i in range(1, len(sig) + 1):
+        if i == len(sig) or sig[i] != sig[s]:
+            runs.append([s, i, sig[s]])
+            s = i
+    merged = []
+    for run in runs:
+        if merged and (run[1] - run[0] < min_run
+                       or merged[-1][1] - merged[-1][0] < min_run):
+            prev = merged[-1]
+            prev[1] = run[1]
+            prev[2] = tuple(max(a, b) for a, b in zip(prev[2], run[2]))
+        else:
+            merged.append(run)
+    return merged
 
 
 def bucket(n: int) -> int:
