@@ -30,20 +30,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def distributed_init(coordinator_address: str | None = None,
                      num_processes: int | None = None,
-                     process_id: int | None = None) -> None:
+                     process_id: int | None = None,
+                     strict: bool | None = None) -> None:
     """Initialize the multi-process JAX runtime (idempotent; a no-op
     when the runtime is already initialized or the job is single-host
-    with no coordinator configured)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    with no coordinator configured).
+
+    ``strict``: raise on initialization failure instead of silently
+    degrading to N independent single-process runs.  Defaults to True
+    whenever coordinator arguments were passed explicitly — a
+    misconfigured coordinator must fail loudly, not quietly produce
+    wrong-world-size jobs."""
+    # Do NOT probe via jax.process_count(): it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run.
+    try:
+        already = jax._src.distributed.global_state.client is not None
+    except AttributeError:   # private API moved: fall back to trying
+        already = False
+    if already:
+        return
+    explicit = (coordinator_address is not None
+                or num_processes is not None or process_id is not None)
+    if strict is None:
+        strict = explicit
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
     except (ValueError, RuntimeError):
-        # single-process run with no cluster env: nothing to do
-        pass
+        if strict:
+            raise
+        # auto-discovery found no cluster env: single-process run
 
 
 def is_primary() -> bool:
