@@ -27,7 +27,7 @@ extern "C" {
 // ABI version stamp: the ctypes loader rebuilds the .so when this does
 // not match (a stale binary from an older source otherwise survives
 // because the loader only builds when the file is absent).
-int64_t pangulu_abi_version() { return 2; }
+int64_t pangulu_abi_version() { return 3; }
 
 // ---------------------------------------------------------------------------
 // Elimination tree (Liu's algorithm) on a symmetric pattern in CSR.
@@ -156,8 +156,14 @@ void pangulu_mindeg(int64_t n, const int64_t* indptr, const int32_t* indices,
   std::priority_queue<Node, std::vector<Node>, std::greater<Node>> heap;
   for (int64_t i = 0; i < n; ++i) heap.emplace(g.degree[i], i);
 
+  // second stamp set for absorbed-element membership tests (the first
+  // marks the reach); O(1) per element instead of a nested scan
+  std::vector<int64_t> estamp(n, -1);
+  int64_t estamp_cur = 0;
+
   std::vector<int64_t> reach;
   int64_t pos = 0;
+  int64_t live = n;
   while (!heap.empty()) {
     auto [d, v] = heap.top();
     heap.pop();
@@ -174,25 +180,40 @@ void pangulu_mindeg(int64_t n, const int64_t* indptr, const int32_t* indices,
 
     order[pos++] = v;
     g.alive[v] = 0;
+    --live;
+
+    // DENSE-PHASE SHORTCUT: v adjacent to every live vertex means the
+    // remainder is a clique after this elimination — any order of the
+    // rest is fill-optimal.  This is what makes expander-like graphs
+    // (where fill densifies fast) terminate in near-linear time
+    // instead of churning a dense quotient graph.
+    if (static_cast<int64_t>(reach.size()) >= live && live > 0) {
+      std::sort(reach.begin(), reach.end());
+      for (int64_t u : reach)
+        if (!g.alive[u]) continue; else { order[pos++] = u; g.alive[u] = 0; }
+      break;
+    }
+
     // v becomes element v absorbing its adjacent elements.
-    for (int64_t e : g.elems[v]) { g.members[e].clear(); g.members[e].shrink_to_fit(); }
+    ++estamp_cur;
+    for (int64_t e : g.elems[v]) {
+      estamp[e] = estamp_cur;  // mark absorbed
+      g.members[e].clear();
+      g.members[e].shrink_to_fit();
+    }
     g.members[v] = reach;
     for (int64_t u : reach) {
-      // drop v and absorbed elements from u's lists
+      // drop absorbed elements from u's list (stamp test, O(|eu|))
       auto& eu = g.elems[u];
-      std::vector<int64_t> kept;
-      kept.reserve(eu.size() + 1);
-      for (int64_t e : eu) {
-        bool absorbed = false;
-        for (int64_t ev : g.elems[v]) if (e == ev) { absorbed = true; break; }
-        if (!absorbed) kept.push_back(e);
-      }
-      kept.push_back(v);
-      eu.swap(kept);
+      size_t w = 0;
+      for (int64_t e : eu)
+        if (estamp[e] != estamp_cur) eu[w++] = e;
+      eu.resize(w);
+      eu.push_back(v);
       // approximate degree: |live adj| + sum of member counts (AMD
       // overcount), minus self.
       int64_t deg = 0;
-      for (int64_t w : g.adj[u]) if (g.alive[w]) ++deg;
+      for (int64_t x : g.adj[u]) if (g.alive[x]) ++deg;
       int64_t seen = 0;
       for (int64_t e : eu) seen += static_cast<int64_t>(g.members[e].size());
       g.degree[u] = deg + std::max<int64_t>(seen - 1, 0);
@@ -200,6 +221,407 @@ void pangulu_mindeg(int64_t n, const int64_t* indptr, const int32_t* indices,
     }
     g.elems[v].clear();
     g.elems[v].shrink_to_fit();
+  }
+  // defensive completeness (isolated vertices never reached, etc.)
+  if (pos != n) {
+    std::vector<char> used(n, 0);
+    for (int64_t i = 0; i < pos; ++i) used[order[i]] = 1;
+    for (int64_t v = 0; v < n && pos < n; ++v)
+      if (!used[v]) order[pos++] = v;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Multilevel nested dissection (the reference's METIS_NodeND role,
+// pangulu_reordering.c:1080).  Same algorithmic skeleton as METIS:
+// per recursion level a MULTILEVEL edge bisection — heavy-edge-matching
+// coarsening, graph-growing initial bisection on the coarsest graph,
+// greedy boundary (FM-style) refinement during uncoarsening — then a
+// vertex separator covering the cut, recursion on the two parts, and
+// minimum-degree ordering on small leaves (METIS uses MMD there).
+// Original algorithm implementation; no METIS code consulted.
+// ---------------------------------------------------------------------------
+namespace nd {
+
+struct Graph {
+  int64_t n = 0;
+  std::vector<int64_t> xadj;
+  std::vector<int32_t> adj;
+  std::vector<int64_t> ewgt;
+  std::vector<int64_t> vwgt;
+};
+
+inline uint64_t xrand(uint64_t* s) {
+  *s ^= *s << 13; *s ^= *s >> 7; *s ^= *s << 17;
+  return *s;
+}
+
+// Heavy-edge matching; fills cmap with coarse ids, returns coarse n.
+static int64_t hem_match(const Graph& g, std::vector<int64_t>& cmap,
+                         uint64_t* seed) {
+  std::vector<int64_t> perm(g.n);
+  for (int64_t i = 0; i < g.n; ++i) perm[i] = i;
+  for (int64_t i = g.n - 1; i > 0; --i)
+    std::swap(perm[i], perm[xrand(seed) % (i + 1)]);
+  cmap.assign(g.n, -1);
+  int64_t nc = 0;
+  for (int64_t idx = 0; idx < g.n; ++idx) {
+    const int64_t v = perm[idx];
+    if (cmap[v] != -1) continue;
+    int64_t best = -1, bw = -1;
+    for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+      const int64_t u = g.adj[p];
+      if (u != v && cmap[u] == -1 && g.ewgt[p] > bw) {
+        bw = g.ewgt[p];
+        best = u;
+      }
+    }
+    cmap[v] = nc;
+    if (best != -1) cmap[best] = nc;
+    ++nc;
+  }
+  return nc;
+}
+
+static Graph contract(const Graph& g, const std::vector<int64_t>& cmap,
+                      int64_t nc) {
+  Graph c;
+  c.n = nc;
+  c.vwgt.assign(nc, 0);
+  for (int64_t v = 0; v < g.n; ++v) c.vwgt[cmap[v]] += g.vwgt[v];
+  std::vector<int64_t> head(nc, -1), nxt(g.n);
+  for (int64_t v = 0; v < g.n; ++v) {
+    nxt[v] = head[cmap[v]];
+    head[cmap[v]] = v;
+  }
+  c.xadj.assign(nc + 1, 0);
+  std::vector<int64_t> mark(nc, -1), at(nc);
+  for (int64_t cv = 0; cv < nc; ++cv) {
+    for (int64_t v = head[cv]; v != -1; v = nxt[v])
+      for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+        const int64_t cu = cmap[g.adj[p]];
+        if (cu == cv) continue;
+        if (mark[cu] != cv) {
+          mark[cu] = cv;
+          at[cu] = static_cast<int64_t>(c.adj.size());
+          c.adj.push_back(static_cast<int32_t>(cu));
+          c.ewgt.push_back(g.ewgt[p]);
+        } else {
+          c.ewgt[at[cu]] += g.ewgt[p];
+        }
+      }
+    c.xadj[cv + 1] = static_cast<int64_t>(c.adj.size());
+  }
+  return c;
+}
+
+static int64_t cut_of(const Graph& g, const std::vector<int8_t>& part) {
+  int64_t cut = 0;
+  for (int64_t v = 0; v < g.n; ++v)
+    for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+      if (part[g.adj[p]] != part[v]) cut += g.ewgt[p];
+  return cut / 2;
+}
+
+// Greedy boundary refinement: move positive-gain boundary vertices
+// while both sides stay within the balance envelope; a balance pass
+// first if a side exceeds it.  Several sweeps (multilevel projection
+// leaves mostly-local errors, so sweeps converge fast).
+static void refine(const Graph& g, std::vector<int8_t>& part,
+                   int passes = 6) {
+  int64_t tot = 0;
+  for (int64_t w : g.vwgt) tot += w;
+  int64_t w0 = 0;
+  for (int64_t v = 0; v < g.n; ++v)
+    if (part[v] == 0) w0 += g.vwgt[v];
+  const int64_t hi = static_cast<int64_t>(tot * 0.60);
+  const int64_t lo = tot - hi;
+  auto gain_of = [&](int64_t v) {
+    int64_t same = 0, other = 0;
+    for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+      (part[g.adj[p]] == part[v] ? same : other) += g.ewgt[p];
+    return other - same;
+  };
+  for (int pass = 0; pass < passes; ++pass) {
+    bool moved = false;
+    // rebalance if needed: move best-gain vertices off the heavy side.
+    // Every accepted move must strictly shrink the imbalance (coarse
+    // vertices heavier than the balance band would otherwise oscillate
+    // between sides forever), and a move-count guard bounds the loop.
+    int64_t guard = g.n + 8;
+    while ((w0 > hi || w0 < lo) && guard-- > 0) {
+      const int8_t from = (w0 > hi) ? 0 : 1;
+      const int64_t imb = std::llabs(2 * w0 - tot);
+      int64_t best = -1, bg = std::numeric_limits<int64_t>::min();
+      for (int64_t v = 0; v < g.n; ++v)
+        if (part[v] == from) {
+          const int64_t nw0 =
+              w0 + ((from == 0) ? -g.vwgt[v] : g.vwgt[v]);
+          if (std::llabs(2 * nw0 - tot) >= imb) continue;
+          const int64_t gn = gain_of(v);
+          if (gn > bg) { bg = gn; best = v; }
+        }
+      if (best < 0) break;
+      part[best] = static_cast<int8_t>(1 - from);
+      w0 += (from == 0) ? -g.vwgt[best] : g.vwgt[best];
+      moved = true;
+    }
+    // FM pass: move best-gain vertices (negative gains allowed — hill
+    // climbing), lock each moved vertex, track the best prefix and
+    // roll back past it.  This is what recovers smooth separators
+    // after multilevel projection; greedy positive-only refinement
+    // cannot cross the small barriers between local optima.
+    std::vector<int64_t> gain(g.n);
+    for (int64_t v = 0; v < g.n; ++v) gain[v] = gain_of(v);
+    using QN = std::pair<int64_t, int64_t>;  // (gain, vertex)
+    std::priority_queue<QN> pq;
+    for (int64_t v = 0; v < g.n; ++v)
+      for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+        if (part[g.adj[p]] != part[v]) { pq.emplace(gain[v], v); break; }
+    std::vector<char> locked(g.n, 0);
+    std::vector<int64_t> trail;
+    int64_t cur = 0, best_val = 0, best_len = 0, since_best = 0;
+    const int64_t climb_limit = 64;
+    int64_t w0_run = w0;
+    while (!pq.empty() && since_best < climb_limit) {
+      auto [gn, v] = pq.top();
+      pq.pop();
+      if (locked[v] || gn != gain[v]) continue;
+      const int8_t from = part[v];
+      const int64_t nw0 =
+          w0_run + ((from == 0) ? -g.vwgt[v] : g.vwgt[v]);
+      if (nw0 > hi || nw0 < lo) continue;
+      part[v] = static_cast<int8_t>(1 - from);
+      locked[v] = 1;
+      w0_run = nw0;
+      trail.push_back(v);
+      cur -= gn;  // cut after this move
+      if (cur < best_val) {
+        best_val = cur;
+        best_len = static_cast<int64_t>(trail.size());
+        since_best = 0;
+      } else {
+        ++since_best;
+      }
+      for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+        const int64_t u = g.adj[p];
+        if (locked[u]) continue;
+        gain[u] += (part[u] == from) ? 2 * g.ewgt[p] : -2 * g.ewgt[p];
+        pq.emplace(gain[u], u);
+      }
+    }
+    // roll back past the best prefix
+    for (int64_t i = static_cast<int64_t>(trail.size()) - 1;
+         i >= best_len; --i)
+      part[trail[i]] = static_cast<int8_t>(1 - part[trail[i]]);
+    // recompute w0 exactly (cheap, and immune to rollback bookkeeping)
+    w0 = 0;
+    for (int64_t v = 0; v < g.n; ++v)
+      if (part[v] == 0) w0 += g.vwgt[v];
+    if (best_len > 0) moved = true;
+    if (!moved) break;
+  }
+}
+
+// Graph-growing initial bisection on the coarsest graph: BFS from a
+// random seed accumulating vertex weight to half; a few tries, best
+// refined cut kept.
+static void init_bisect(const Graph& g, std::vector<int8_t>& part,
+                        uint64_t* seed) {
+  int64_t tot = 0;
+  for (int64_t w : g.vwgt) tot += w;
+  std::vector<int8_t> best;
+  int64_t best_cut = std::numeric_limits<int64_t>::max();
+  for (int t = 0; t < 4; ++t) {
+    std::vector<int8_t> p(g.n, 1);
+    std::vector<int64_t> q;
+    std::vector<char> seen(g.n, 0);
+    int64_t start = static_cast<int64_t>(xrand(seed) % g.n);
+    q.push_back(start);
+    seen[start] = 1;
+    int64_t w0 = 0;
+    size_t qh = 0;
+    while (w0 * 2 < tot) {
+      if (qh == q.size()) {  // disconnected: jump to an unseen vertex
+        int64_t nxt = -1;
+        for (int64_t v = 0; v < g.n; ++v)
+          if (!seen[v]) { nxt = v; break; }
+        if (nxt < 0) break;
+        q.push_back(nxt);
+        seen[nxt] = 1;
+      }
+      const int64_t v = q[qh++];
+      p[v] = 0;
+      w0 += g.vwgt[v];
+      for (int64_t e = g.xadj[v]; e < g.xadj[v + 1]; ++e) {
+        const int32_t u = g.adj[e];
+        if (!seen[u]) { seen[u] = 1; q.push_back(u); }
+      }
+    }
+    refine(g, p);
+    const int64_t c = cut_of(g, p);
+    if (c < best_cut) { best_cut = c; best = p; }
+  }
+  part = best;
+}
+
+// Multilevel edge bisection of g into part 0/1.
+static void ml_bisect(const Graph& g0, std::vector<int8_t>& part,
+                      uint64_t* seed) {
+  const int64_t kCoarsest = 96;
+  std::vector<Graph> graphs;
+  std::vector<std::vector<int64_t>> cmaps;
+  graphs.push_back(g0);
+  while (graphs.back().n > kCoarsest) {
+    std::vector<int64_t> cmap;
+    const int64_t nc = hem_match(graphs.back(), cmap, seed);
+    if (nc > graphs.back().n * 95 / 100) break;  // matching stalled
+    graphs.push_back(contract(graphs.back(), cmap, nc));
+    cmaps.push_back(std::move(cmap));
+  }
+  std::vector<int8_t> p;
+  init_bisect(graphs.back(), p, seed);
+  for (int64_t i = static_cast<int64_t>(cmaps.size()) - 1; i >= 0; --i) {
+    std::vector<int8_t> fine(graphs[i].n);
+    for (int64_t v = 0; v < graphs[i].n; ++v) fine[v] = p[cmaps[i][v]];
+    refine(graphs[i], fine);
+    p = std::move(fine);
+  }
+  part = std::move(p);
+}
+
+// Extract the subgraph induced by nodes (unit weights at every level:
+// separator quality at the FINE grain is what matters for fill).
+static Graph subgraph(const int64_t* indptr, const int32_t* indices,
+                      const std::vector<int64_t>& nodes,
+                      std::vector<int64_t>& inv, int64_t n_total) {
+  Graph s;
+  s.n = static_cast<int64_t>(nodes.size());
+  for (int64_t i = 0; i < s.n; ++i) inv[nodes[i]] = i;
+  s.xadj.assign(s.n + 1, 0);
+  s.vwgt.assign(s.n, 1);
+  for (int64_t i = 0; i < s.n; ++i) {
+    const int64_t v = nodes[i];
+    for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+      const int32_t u = indices[p];
+      if (u == v) continue;
+      const int64_t lu = inv[u];
+      if (lu >= 0 && lu < s.n && nodes[lu] == u) {
+        s.adj.push_back(static_cast<int32_t>(lu));
+        s.ewgt.push_back(1);
+      }
+    }
+    s.xadj[i + 1] = static_cast<int64_t>(s.adj.size());
+  }
+  return s;
+}
+
+}  // namespace nd
+
+// Multilevel nested dissection ordering: order[k] = original index of
+// the k-th pivot.  leaf_size-sized leaves fall back to pangulu_mindeg.
+void pangulu_mindeg(int64_t n, const int64_t* indptr, const int32_t* indices,
+                    int64_t* order);  // fwd decl (defined above)
+
+void pangulu_ndorder(int64_t n, const int64_t* indptr,
+                     const int32_t* indices, int64_t leaf_size,
+                     int64_t* order) {
+  if (leaf_size < 32) leaf_size = 32;
+  uint64_t seed = 0x9E3779B97F4A7C15ull;
+  std::vector<int64_t> inv(n, -1);  // shared scratch: global -> local id
+  int64_t pos = 0;
+
+  // explicit recursion: entries are (nodes, emit) — emit entries dump
+  // their nodes (separators) in the stored order
+  struct Task {
+    std::vector<int64_t> nodes;
+    bool emit;
+  };
+  std::vector<Task> stack;
+  {
+    std::vector<int64_t> all(n);
+    for (int64_t i = 0; i < n; ++i) all[i] = i;
+    stack.push_back({std::move(all), false});
+  }
+
+  auto leaf = [&](const std::vector<int64_t>& nodes) {
+    nd::Graph s = nd::subgraph(indptr, indices, nodes, inv, n);
+    std::vector<int64_t> sub_order(s.n);
+    // mindeg wants CSR arrays
+    pangulu_mindeg(s.n, s.xadj.data(), s.adj.data(), sub_order.data());
+    for (int64_t i = 0; i < s.n; ++i) order[pos++] = nodes[sub_order[i]];
+  };
+
+  while (!stack.empty()) {
+    Task t = std::move(stack.back());
+    stack.pop_back();
+    if (t.emit) {
+      for (int64_t v : t.nodes) order[pos++] = v;
+      continue;
+    }
+    if (static_cast<int64_t>(t.nodes.size()) <= leaf_size) {
+      leaf(t.nodes);
+      continue;
+    }
+    nd::Graph s = nd::subgraph(indptr, indices, t.nodes, inv, n);
+    std::vector<int8_t> part;
+    nd::ml_bisect(s, part, &seed);
+    // vertex separator: the smaller boundary side covers every cut edge
+    std::vector<char> bnd(s.n, 0);
+    int64_t b0 = 0, b1 = 0;
+    for (int64_t v = 0; v < s.n; ++v)
+      for (int64_t p = s.xadj[v]; p < s.xadj[v + 1]; ++p)
+        if (part[s.adj[p]] != part[v]) {
+          if (!bnd[v]) {
+            bnd[v] = 1;
+            (part[v] == 0 ? b0 : b1)++;
+          }
+          break;
+        }
+    const int8_t sep_side = (b0 <= b1) ? 0 : 1;
+    // side: 0 = A, 1 = B, 2 = separator
+    std::vector<int8_t> side(s.n);
+    for (int64_t v = 0; v < s.n; ++v)
+      side[v] = (bnd[v] && part[v] == sep_side) ? 2 : part[v];
+    // separator THINNING: a separator vertex with no neighbour in one
+    // part can rejoin the other part — the one-side cover is a crude
+    // superset, and separator size is the dominant fill driver
+    for (int round = 0; round < 4; ++round) {
+      bool changed = false;
+      for (int64_t v = 0; v < s.n; ++v) {
+        if (side[v] != 2) continue;
+        bool in_a = false, in_b = false;
+        for (int64_t p = s.xadj[v]; p < s.xadj[v + 1]; ++p) {
+          const int8_t su = side[s.adj[p]];
+          in_a |= (su == 0);
+          in_b |= (su == 1);
+        }
+        if (!in_b) { side[v] = 0; changed = true; }
+        else if (!in_a) { side[v] = 1; changed = true; }
+      }
+      if (!changed) break;
+    }
+    std::vector<int64_t> a_part, b_part, s_part;
+    for (int64_t v = 0; v < s.n; ++v) {
+      if (side[v] == 2) s_part.push_back(t.nodes[v]);
+      else if (side[v] == 0) a_part.push_back(t.nodes[v]);
+      else b_part.push_back(t.nodes[v]);
+    }
+    if (a_part.empty() || b_part.empty()) {
+      leaf(t.nodes);  // bisection degenerated (dense/tiny-diameter)
+      continue;
+    }
+    if (!s_part.empty())
+      stack.push_back({std::move(s_part), true});  // eliminated last
+    stack.push_back({std::move(b_part), false});
+    stack.push_back({std::move(a_part), false});
+  }
+  // pos == n by construction; defensive: fill any gap as identity
+  if (pos != n) {
+    std::vector<char> used(n, 0);
+    for (int64_t i = 0; i < pos; ++i) used[order[i]] = 1;
+    for (int64_t v = 0; v < n && pos < n; ++v)
+      if (!used[v]) order[pos++] = v;
   }
 }
 

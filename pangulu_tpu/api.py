@@ -133,12 +133,17 @@ def init(a, opts: InitOptions | None = None) -> Handle:
                      or a.n <= 50_000 else "block")
     if opts.ordering == "auto":
         # Data-driven pick: with dense MXU tiles the cost metric is
-        # BLOCK-level fill, and bandwidth-reducing RCM usually crushes
-        # scalar-fill-minimizing orderings there (measured 100x+ fewer
-        # block flops on 3D Poisson) — but not always, so try both and
-        # keep the smaller block pattern.
+        # BLOCK-level work.  Bandwidth-reducing RCM usually wins on
+        # mesh-like graphs; the native multilevel nested dissection
+        # wins on irregular (circuit/power/small-world) graphs — so
+        # measure each candidate's block-flop score and keep the best.
+        from pangulu_tpu import native as _nat
+
         candidates = (["rcm"]
-                      + (["nd"] if a.n <= 500_000 else [])
+                      # native multilevel ND is near-linear; the Python
+                      # BFS fallback is only viable at moderate n
+                      + (["nd"] if _nat.get_lib() is not None
+                         or a.n <= 200_000 else [])
                       + (["mindeg"] if a.n <= 100_000 else []))
         # The MC64 matching/scaling is identical for every candidate —
         # compute it once, not once per ordering tried.
@@ -153,12 +158,12 @@ def init(a, opts: InitOptions | None = None) -> Handle:
                                match=match)
             with perf.phase("symbolic"):
                 symb_c = symbolic(ro_c.reordered, opts.nb, mode=symb_mode)
-            ntiles = symb_c.block_full.nnz
-            if best is None or ntiles < best[2]:
-                best = (ro_c, symb_c, ntiles, cand)
+            score = symb_c.block_flop_score()
+            if best is None or score < best[2]:
+                best = (ro_c, symb_c, score, cand)
         ro, symb, _, chosen = best
-        log.info("auto ordering picked %s (%d block tiles)",
-                 chosen, best[2])
+        log.info("auto ordering picked %s (block-flop score %.3e, "
+                 "%d tiles)", chosen, best[2], symb.block_full.nnz)
     else:
         with perf.phase("reorder"):
             ro = reorder(a, mc64=opts.mc64, ordering=opts.ordering)

@@ -40,7 +40,7 @@ def _build() -> bool:
         return False
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _load_checked():
@@ -85,6 +85,9 @@ def get_lib():
     lib.pangulu_fill_walk_counts.restype = ctypes.c_int64
     lib.pangulu_mindeg.argtypes = [ctypes.c_int64, i64p, i32p, i64p]
     lib.pangulu_mindeg.restype = None
+    lib.pangulu_ndorder.argtypes = [ctypes.c_int64, i64p, i32p,
+                                    ctypes.c_int64, i64p]
+    lib.pangulu_ndorder.restype = None
     lib.pangulu_mc64.argtypes = [ctypes.c_int64, i64p, i32p, f64p, i64p,
                                  f64p, f64p]
     lib.pangulu_mc64.restype = ctypes.c_int
@@ -158,6 +161,20 @@ def mindeg(n, indptr, indices):
     lib.pangulu_mindeg(n, _ptr(indptr, ctypes.c_int64),
                        _ptr(indices, ctypes.c_int32),
                        _ptr(order, ctypes.c_int64))
+    return order
+
+
+def ndorder(n, indptr, indices, leaf_size=128):
+    """Multilevel nested dissection ordering (METIS_NodeND role), or
+    None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr, indices = _i64(indptr), _i32(indices)
+    order = np.empty(n, dtype=np.int64)
+    lib.pangulu_ndorder(n, _ptr(indptr, ctypes.c_int64),
+                        _ptr(indices, ctypes.c_int32), leaf_size,
+                        _ptr(order, ctypes.c_int64))
     return order
 
 

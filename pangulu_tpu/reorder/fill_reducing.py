@@ -41,6 +41,12 @@ def fill_reducing_order(a: CscMatrix, method: str = "auto") -> np.ndarray:
         return np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True),
                           dtype=np.int64)
     if method == "nd":
+        from pangulu_tpu import native
+
+        csr = sym.tocsr()
+        order = native.ndorder(sym.shape[0], csr.indptr, csr.indices)
+        if order is not None:
+            return order
         return _nested_dissection(sym)
     if method == "mindeg":
         from pangulu_tpu import native

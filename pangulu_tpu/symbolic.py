@@ -46,6 +46,21 @@ class SymbolicResult:
     lower_colcnt: np.ndarray | None = None  # |{i>j: L(i,j)}| per column
                                             # (scalar mode only)
 
+    def block_flop_score(self) -> float:
+        """Cheap upper-bound estimate of the DENSE-TILE flops a
+        factorization of this block pattern executes: per level k,
+        the Schur stage costs <= nl_k * nu_k tile-GEMMs plus nl_k+nu_k
+        panel solves (each 2nb^3-class).  Used by the ordering auto-
+        pick — tile count alone misrepresents orderings whose tiles
+        concentrate in few levels."""
+        full = self.block_full
+        bl = self.block_length
+        colptr, rows = full.indptr, full.indices
+        cols = np.repeat(np.arange(bl), np.diff(colptr))
+        nl = np.bincount(cols[rows > cols], minlength=bl)
+        nu = np.bincount(rows[rows < cols], minlength=bl)
+        return float(np.sum(nl * nu) + np.sum(nl) + np.sum(nu) + bl)
+
     def sparse_flops(self) -> float | None:
         """EXACT sparse LU flop count for the (symmetrized) fill
         pattern — the number the reference reports as GFLOPS
