@@ -27,7 +27,7 @@ extern "C" {
 // ABI version stamp: the ctypes loader rebuilds the .so when this does
 // not match (a stale binary from an older source otherwise survives
 // because the loader only builds when the file is absent).
-int64_t pangulu_abi_version() { return 3; }
+int64_t pangulu_abi_version() { return 4; }
 
 // ---------------------------------------------------------------------------
 // Elimination tree (Liu's algorithm) on a symmetric pattern in CSR.
@@ -522,10 +522,26 @@ static Graph subgraph(const int64_t* indptr, const int32_t* indices,
 // the k-th pivot.  leaf_size-sized leaves fall back to pangulu_mindeg.
 void pangulu_mindeg(int64_t n, const int64_t* indptr, const int32_t* indices,
                     int64_t* order);  // fwd decl (defined above)
+void pangulu_ndorder_aligned(int64_t n, const int64_t* indptr,
+                             const int32_t* indices, int64_t leaf_size,
+                             int64_t align_nb, int64_t* order);
 
 void pangulu_ndorder(int64_t n, const int64_t* indptr,
                      const int32_t* indices, int64_t leaf_size,
                      int64_t* order) {
+  pangulu_ndorder_aligned(n, indptr, indices, leaf_size, 0, order);
+}
+
+// align_nb > 1: force |A| to a multiple of align_nb at every split of
+// a part >= 3*align_nb (remainder boundary vertices join the
+// separator).  Parts then start at block-aligned offsets, so disjoint
+// subtrees occupy DISJOINT nb-blocks and the block-level dependency
+// DAG keeps the elimination tree's parallelism (super-level batching,
+// Schedule.superlevels) — unaligned parts straddle blocks and the
+// straddling tile columns serialize the subtrees.
+void pangulu_ndorder_aligned(int64_t n, const int64_t* indptr,
+                             const int32_t* indices, int64_t leaf_size,
+                             int64_t align_nb, int64_t* order) {
   if (leaf_size < 32) leaf_size = 32;
   uint64_t seed = 0x9E3779B97F4A7C15ull;
   std::vector<int64_t> inv(n, -1);  // shared scratch: global -> local id
@@ -600,6 +616,30 @@ void pangulu_ndorder(int64_t n, const int64_t* indptr,
         else if (!in_a) { side[v] = 1; changed = true; }
       }
       if (!changed) break;
+    }
+    // nb-alignment: shrink A to a multiple of align_nb by moving its
+    // remainder (preferring vertices already adjacent to the
+    // separator) into the separator
+    if (align_nb > 1 &&
+        static_cast<int64_t>(t.nodes.size()) >= 3 * align_nb) {
+      int64_t na = 0;
+      for (int64_t v = 0; v < s.n; ++v) na += (side[v] == 0);
+      int64_t r = na % align_nb;
+      if (r > 0 && na - r >= align_nb) {
+        // pass 1: A vertices adjacent to S; pass 2: any A vertex
+        for (int pass = 0; pass < 2 && r > 0; ++pass)
+          for (int64_t v = 0; v < s.n && r > 0; ++v) {
+            if (side[v] != 0) continue;
+            if (pass == 0) {
+              bool near_s = false;
+              for (int64_t p = s.xadj[v]; p < s.xadj[v + 1]; ++p)
+                if (side[s.adj[p]] == 2) { near_s = true; break; }
+              if (!near_s) continue;
+            }
+            side[v] = 2;
+            --r;
+          }
+      }
     }
     std::vector<int64_t> a_part, b_part, s_part;
     for (int64_t v = 0; v < s.n; ++v) {

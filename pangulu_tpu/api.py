@@ -155,7 +155,7 @@ def init(a, opts: InitOptions | None = None) -> Handle:
         for cand in candidates:
             with perf.phase("reorder"):
                 ro_c = reorder(a, mc64=opts.mc64, ordering=cand,
-                               match=match)
+                               match=match, nb=opts.nb)
             with perf.phase("symbolic"):
                 symb_c = symbolic(ro_c.reordered, opts.nb, mode=symb_mode)
             score = symb_c.block_flop_score()
@@ -166,7 +166,8 @@ def init(a, opts: InitOptions | None = None) -> Handle:
                  "%d tiles)", chosen, best[2], symb.block_full.nnz)
     else:
         with perf.phase("reorder"):
-            ro = reorder(a, mc64=opts.mc64, ordering=opts.ordering)
+            ro = reorder(a, mc64=opts.mc64, ordering=opts.ordering,
+                         nb=opts.nb)
         with perf.phase("symbolic"):
             symb = symbolic(ro.reordered, opts.nb, mode=symb_mode)
     with perf.phase("preprocess"):

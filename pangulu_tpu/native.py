@@ -40,7 +40,7 @@ def _build() -> bool:
         return False
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _load_checked():
@@ -88,6 +88,9 @@ def get_lib():
     lib.pangulu_ndorder.argtypes = [ctypes.c_int64, i64p, i32p,
                                     ctypes.c_int64, i64p]
     lib.pangulu_ndorder.restype = None
+    lib.pangulu_ndorder_aligned.argtypes = [
+        ctypes.c_int64, i64p, i32p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.pangulu_ndorder_aligned.restype = None
     lib.pangulu_mc64.argtypes = [ctypes.c_int64, i64p, i32p, f64p, i64p,
                                  f64p, f64p]
     lib.pangulu_mc64.restype = ctypes.c_int
@@ -164,17 +167,20 @@ def mindeg(n, indptr, indices):
     return order
 
 
-def ndorder(n, indptr, indices, leaf_size=128):
+def ndorder(n, indptr, indices, leaf_size=128, align_nb=0):
     """Multilevel nested dissection ordering (METIS_NodeND role), or
-    None when the native lib is unavailable."""
+    None when the native lib is unavailable.  ``align_nb > 1`` aligns
+    part sizes to multiples of the tile size so disjoint subtrees map
+    to disjoint nb-blocks (keeps the etree parallelism visible to the
+    block-level super-level schedule)."""
     lib = get_lib()
     if lib is None:
         return None
     indptr, indices = _i64(indptr), _i32(indices)
     order = np.empty(n, dtype=np.int64)
-    lib.pangulu_ndorder(n, _ptr(indptr, ctypes.c_int64),
-                        _ptr(indices, ctypes.c_int32), leaf_size,
-                        _ptr(order, ctypes.c_int64))
+    lib.pangulu_ndorder_aligned(n, _ptr(indptr, ctypes.c_int64),
+                                _ptr(indices, ctypes.c_int32), leaf_size,
+                                align_nb, _ptr(order, ctypes.c_int64))
     return order
 
 

@@ -93,6 +93,41 @@ def _panel_schur_step_trsm(backend: KernelBackend, tiles, diag,
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _superfused_factorize(backend: KernelBackend, tiles, diag_idx,
+                          l_ids, l_dsel, u_ids, u_dsel,
+                          upd_dst, upd_l, upd_u):
+    """Super-level fused engine: one fori iteration factors a whole
+    GROUP of independent block columns (equal block-etree depth,
+    Schedule.superlevels) — G diagonals in one batched GETRF+invert,
+    the union of their panels in one batched matmul against the
+    per-member inverses, and all Schur updates in one scatter-add
+    (duplicate destinations accumulate; addition commutes).  The
+    static-schedule counterpart of the reference's concurrent
+    ready-GETRF seeding (pangulu_numeric.c:1054-1068); transformative
+    under nested-dissection orderings (depth << bl)."""
+    ns = diag_idx.shape[0]
+    dt = tiles.dtype
+
+    def body(s, tiles):
+        d_idx = diag_idx[s]
+        diag, linv, uinv = jax.vmap(
+            lambda t: backend.diag_factor_invert(t, None))(tiles[d_idx])
+        tiles = tiles.at[d_idx].set(diag)
+        lblk = jnp.matmul(tiles[l_ids[s]], uinv[l_dsel[s]],
+                          preferred_element_type=dt)
+        tiles = tiles.at[l_ids[s]].set(lblk)
+        ublk = jnp.matmul(linv[u_dsel[s]], tiles[u_ids[s]],
+                          preferred_element_type=dt)
+        tiles = tiles.at[u_ids[s]].set(ublk)
+        prod = jnp.matmul(lblk[upd_l[s]], ublk[upd_u[s]],
+                          preferred_element_type=dt)
+        tiles = tiles.at[upd_dst[s]].add(-prod)
+        return tiles
+
+    return jax.lax.fori_loop(0, ns, body, tiles)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _fused_factorize(backend: KernelBackend, tiles, diag_idx, l_ids, u_ids,
                      upd_dst, upd_l, upd_u):
     """Whole factorization in ONE dispatch: lax.fori_loop over levels
@@ -139,6 +174,10 @@ class LUFactorizer:
 
     # Above this padded/real work ratio the per-level engine wins.
     FUSED_OVERHEAD_LIMIT = 6.0
+    # Use super-level batching when the dependency depth compresses the
+    # level count by at least this factor (chain-like RCM schedules
+    # gain nothing; ND-class schedules compress 4-10x).
+    SUPERLEVEL_COMPRESSION = 0.6
 
     def __init__(self, blocked: BlockedMatrix, schedule: Schedule | None = None,
                  backend: KernelBackend | None = None,
@@ -166,6 +205,12 @@ class LUFactorizer:
                 dispatch = "levels"
             elif self._mega_eligible():
                 dispatch = "mega"
+            elif (len(self.schedule.superlevels())
+                  <= self.SUPERLEVEL_COMPRESSION
+                  * self.schedule.block_length):
+                # real etree parallelism (ND-class orderings): batch
+                # independent columns per dispatch step
+                dispatch = "superfused"
             elif (self.schedule.fused_overhead()
                   <= self.FUSED_OVERHEAD_LIMIT):
                 dispatch = "fused"
@@ -175,6 +220,7 @@ class LUFactorizer:
         self._prepared = None
         self._fused_args = None
         self._segments = None
+        self._super_segments = None
         self._mega = None
         self.inv_tiles = None  # [bl, 2, nb, nb] after a mega factorize
         if dispatch == "mega":
@@ -182,6 +228,11 @@ class LUFactorizer:
                 k: (v if isinstance(v, int) else jnp.asarray(v))
                 for k, v in self.schedule.mega_tables(
                     self.blocked.num_tiles).items()}
+        elif dispatch == "superfused":
+            self._super_segments = [
+                tuple(jnp.asarray(t) for t in seg)
+                for seg in self.schedule.superfused_tables(
+                    self.blocked.num_tiles)]
         elif dispatch == "fused":
             self._fused_args = tuple(
                 jnp.asarray(t) for t in
@@ -266,12 +317,16 @@ class LUFactorizer:
                 ssssm=self.schedule.n_ssssm,
             )
             return tiles
-        if self.dispatch in ("fused", "segmented"):
+        if self.dispatch in ("fused", "segmented", "superfused"):
             ctx = jax.default_matmul_precision(self.precision)
             with self.perf.phase("numeric"), ctx:
                 if self.dispatch == "fused":
                     tiles = _fused_factorize(self.backend, tiles,
                                              *self._fused_args)
+                elif self.dispatch == "superfused":
+                    for seg in self._super_segments:
+                        tiles = _superfused_factorize(self.backend,
+                                                      tiles, *seg)
                 else:
                     for seg in self._segments:
                         tiles = _fused_factorize(self.backend, tiles, *seg)

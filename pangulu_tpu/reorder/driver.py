@@ -74,18 +74,21 @@ class Reordering:
 
 
 def reorder(a: CscMatrix, *, mc64: bool = True,
-            ordering: str = "auto", match=None) -> Reordering:
+            ordering: str = "auto", match=None,
+            nb: int = 0) -> Reordering:
     """``match``: optional precomputed ``(dr, dc, colperm)`` from
     :func:`mc64_scale_and_match` — lets callers trying several
     fill-reducing orderings (api.init ordering='auto') pay for the
-    matching once instead of once per candidate."""
+    matching once instead of once per candidate.  ``nb``: tile-size
+    hint for tile-aligned nested dissection."""
     n = a.n
     s = a.to_scipy()
     dr, dc, colperm = (match if match is not None
                        else mc64_scale_and_match(a, enable=mc64))
     a1 = sp.diags(dr.astype(s.dtype)) @ s @ sp.diags(dc.astype(s.dtype))
     a2 = sp.csc_matrix(a1)[:, colperm]
-    perm = fill_reducing_order(CscMatrix.from_scipy(a2), method=ordering)
+    perm = fill_reducing_order(CscMatrix.from_scipy(a2), method=ordering,
+                               nb=nb)
     a3 = sp.csc_matrix(a2)[perm][:, perm]
     a3.sort_indices()
     return Reordering(

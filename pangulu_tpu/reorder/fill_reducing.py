@@ -30,8 +30,13 @@ from pangulu_tpu.sparse import CscMatrix, symmetrize_pattern
 _MINDEG_MAX_N = 15000
 
 
-def fill_reducing_order(a: CscMatrix, method: str = "auto") -> np.ndarray:
-    """Return permutation ``p`` so that ``A[p][:, p]`` has low fill."""
+def fill_reducing_order(a: CscMatrix, method: str = "auto",
+                        nb: int = 0) -> np.ndarray:
+    """Return permutation ``p`` so that ``A[p][:, p]`` has low fill.
+
+    ``nb``: tile size hint for the "nd" method — part sizes align to
+    nb multiples so disjoint subtrees occupy disjoint tile columns
+    (enables super-level batching, schedule.Schedule.superlevels)."""
     if method == "natural":
         return np.arange(a.n, dtype=np.int64)
     if method == "auto":
@@ -44,7 +49,9 @@ def fill_reducing_order(a: CscMatrix, method: str = "auto") -> np.ndarray:
         from pangulu_tpu import native
 
         csr = sym.tocsr()
-        order = native.ndorder(sym.shape[0], csr.indptr, csr.indices)
+        leaf = max(128, nb) if nb else 128
+        order = native.ndorder(sym.shape[0], csr.indptr, csr.indices,
+                               leaf_size=leaf, align_nb=nb)
         if order is not None:
             return order
         return _nested_dissection(sym)

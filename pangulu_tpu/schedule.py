@@ -239,6 +239,100 @@ class Schedule:
         return dict(nl_tab=nl, nuc_tab=nuc, lid_tab=lid, lrow_tab=lrow,
                     ucid_tab=ucid, ucrow_tab=ucrow)
 
+    def block_depths(self) -> np.ndarray:
+        """Exact block-column dependency depths.  Level j must precede
+        level k (j < k) iff tile (j,k) or (k,j) is present: only then
+        does level j write anything level k reads (its diag via a Schur
+        update needs (k,j) AND (j,k); its panels need (j,k) or (k,j) —
+        the union is exactly pattern adjacency).  Distinct columns at
+        equal depth touch disjoint diag/panel tiles; their Schur
+        updates may share destinations, which commute (addition).
+        This is the reference's concurrent ready-GETRF seeding
+        (pangulu_numeric.c:1054-1068) made static."""
+        if getattr(self, "_depths", None) is not None:
+            return self._depths
+        bl = self.block_length
+        depth = np.zeros(bl, dtype=np.int64)
+        for lev in self.levels:
+            k = lev.k
+            d = 0
+            if len(lev.ucolrows):       # (j,k), j<k — column above diag
+                d = int(depth[lev.ucolrows].max()) + 1
+            # (k,j), j<k — handled via the transpose view: lrows of
+            # earlier columns; equivalently row k's left entries.  The
+            # pattern is structurally symmetric at block level
+            # (block_full), so ucolrows covers both.
+            depth[k] = d
+        self._depths = depth
+        return depth
+
+    def superlevels(self) -> list:
+        """Groups of level indices at equal dependency depth — each
+        group's diagonals/panels can factor concurrently (etree-level
+        batching; pairs with nested-dissection orderings whose
+        disjoint subtrees are abundant)."""
+        depth = self.block_depths()
+        groups: dict[int, list] = {}
+        for k, d in enumerate(depth):
+            groups.setdefault(int(d), []).append(k)
+        return [groups[d] for d in sorted(groups)]
+
+    def superfused_tables(self, scratch_tile: int, min_run: int = 4):
+        """Per-SEGMENT padded tables for the super-level fused engine.
+        Each super-level batches G diagonals (one batched GETRF+invert)
+        plus the union of members' panels and Schur updates; upd_l /
+        upd_u index the CONCATENATED panel batches.  Segments group
+        consecutive super-levels of one bucketed signature (leaf depths
+        have hundreds of members, the root has one — global padding
+        would erase the win).
+
+        Returns a list of
+        (diag_idx[S,G], l_ids[S,NL], l_dsel[S,NL], u_ids[S,NU],
+         u_dsel[S,NU], upd_dst[S,NUP], upd_l[S,NUP], upd_u[S,NUP])."""
+        supers = self.superlevels()
+        sig = []
+        stats = []
+        for mem in supers:
+            g = len(mem)
+            nl = sum(len(self.levels[k].lpanel) for k in mem)
+            nu = sum(len(self.levels[k].upanel) for k in mem)
+            nup = sum(len(self.levels[k].upd_dst) for k in mem)
+            stats.append((g, nl, nu, nup))
+            sig.append((bucket(max(g, 1)), bucket(max(nl, 1)),
+                        bucket(max(nu, 1)), bucket(max(nup, 1))))
+        out = []
+        for s0, s1, (G, NL, NU, NUP) in group_runs(sig, min_run):
+            seg = s1 - s0
+            diag_idx = np.full((seg, G), scratch_tile, dtype=np.int32)
+            l_ids = np.full((seg, NL), scratch_tile, dtype=np.int32)
+            l_dsel = np.zeros((seg, NL), dtype=np.int32)
+            u_ids = np.full((seg, NU), scratch_tile, dtype=np.int32)
+            u_dsel = np.zeros((seg, NU), dtype=np.int32)
+            upd_dst = np.full((seg, NUP), scratch_tile, dtype=np.int32)
+            upd_l = np.zeros((seg, NUP), dtype=np.int32)
+            upd_u = np.zeros((seg, NUP), dtype=np.int32)
+            for t, mem in enumerate(supers[s0:s1]):
+                ol = ou = op = 0
+                for g, k in enumerate(mem):
+                    lev = self.levels[k]
+                    diag_idx[t, g] = lev.diag
+                    nlk = len(lev.lpanel)
+                    nuk = len(lev.upanel)
+                    nupk = len(lev.upd_dst)
+                    l_ids[t, ol:ol + nlk] = lev.lpanel
+                    l_dsel[t, ol:ol + nlk] = g
+                    u_ids[t, ou:ou + nuk] = lev.upanel
+                    u_dsel[t, ou:ou + nuk] = g
+                    upd_dst[t, op:op + nupk] = lev.upd_dst
+                    upd_l[t, op:op + nupk] = lev.upd_l + ol
+                    upd_u[t, op:op + nupk] = lev.upd_u + ou
+                    ol += nlk
+                    ou += nuk
+                    op += nupk
+            out.append((diag_idx, l_ids, l_dsel, u_ids, u_dsel,
+                        upd_dst, upd_l, upd_u))
+        return out
+
     def fused_overhead(self) -> float:
         """Padded-work / real-work ratio of the fused engine's Schur
         stage (the dominant cost); used to pick fused vs per-level
