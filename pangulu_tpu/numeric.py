@@ -92,6 +92,65 @@ def _panel_schur_step_trsm(backend: KernelBackend, tiles, diag,
     return tiles
 
 
+class DdTiles:
+    """Factored tiles in double-float representation (hi/lo f32 pairs)
+    — the r64-on-TPU storage (ops.dd).  ``np.asarray`` yields the f64
+    combination, so checkpointing/gather_factor work unchanged."""
+
+    def __init__(self, hi, lo):
+        self.hi = hi
+        self.lo = lo
+
+    def __array__(self, dtype=None, copy=None):
+        out = (np.asarray(self.hi).astype(np.float64)
+               + np.asarray(self.lo).astype(np.float64))
+        return out.astype(dtype) if dtype is not None else out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def _fused_factorize_dd(nb: int, tol: float, th, tl, diag_idx, l_ids,
+                        u_ids, upd_dst, upd_l, upd_u):
+    """r64 factorization on TPU hardware: the fused level engine in
+    double-float arithmetic (ops.dd) — every matmul an exact-sliced
+    f32 MXU product, every elementwise op an error-free-transform
+    pair.  ~48-bit results without touching the ~1000x-slower emulated
+    f64 path.  Also persists the per-level dd triangle inverses for
+    the matmul-only dd solve."""
+    from pangulu_tpu.ops import dd as D
+
+    bl = diag_idx.shape[0]
+    invh = jnp.zeros((bl, 2, nb, nb), jnp.float32)
+    invl = jnp.zeros_like(invh)
+
+    def body(k, c):
+        th, tl, invh, invl = c
+        d = diag_idx[k]
+        (dh, dl), (lih, lil), (uih, uil) = D.dd_lu_inverses(
+            th[d], tl[d], nb=nb, tol=tol)
+        th = th.at[d].set(dh)
+        tl = tl.at[d].set(dl)
+        invh = invh.at[k, 0].set(lih)
+        invl = invl.at[k, 0].set(lil)
+        invh = invh.at[k, 1].set(uih)
+        invl = invl.at[k, 1].set(uil)
+        lbh, lbl = D.dd_matmul(th[l_ids[k]], tl[l_ids[k]], uih, uil)
+        th = th.at[l_ids[k]].set(lbh)
+        tl = tl.at[l_ids[k]].set(lbl)
+        ubh, ubl = D.dd_matmul(lih, lil, th[u_ids[k]], tl[u_ids[k]])
+        th = th.at[u_ids[k]].set(ubh)
+        tl = tl.at[u_ids[k]].set(ubl)
+        ph, pl = D.dd_matmul(lbh[upd_l[k]], lbl[upd_l[k]],
+                             ubh[upd_u[k]], ubl[upd_u[k]])
+        # dd scatter-subtract = gather, renormalizing dd_sub, set
+        # (destinations are unique within a level)
+        nh, nl2 = D.dd_sub(th[upd_dst[k]], tl[upd_dst[k]], ph, pl)
+        th = th.at[upd_dst[k]].set(nh)
+        tl = tl.at[upd_dst[k]].set(nl2)
+        return th, tl, invh, invl
+
+    return jax.lax.fori_loop(0, bl, body, (th, tl, invh, invl))
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _superfused_factorize(backend: KernelBackend, tiles, diag_idx,
                           l_ids, l_dsel, u_ids, u_dsel,
@@ -203,6 +262,10 @@ class LUFactorizer:
         if dispatch == "auto":
             if panel_solve != "inv":
                 dispatch = "levels"
+            elif self._dd_eligible():
+                # r64 on TPU: double-float engine on the f32 MXU (the
+                # emulated-f64 path is ~1000x slower)
+                dispatch = "dd"
             elif self._mega_eligible():
                 dispatch = "mega"
             elif (len(self.schedule.superlevels())
@@ -223,7 +286,11 @@ class LUFactorizer:
         self._super_segments = None
         self._mega = None
         self.inv_tiles = None  # [bl, 2, nb, nb] after a mega factorize
-        if dispatch == "mega":
+        if dispatch == "dd":
+            self._fused_args = tuple(
+                jnp.asarray(t) for t in
+                self.schedule.fused_tables(self.blocked.num_tiles))
+        elif dispatch == "mega":
             self._mega = {
                 k: (v if isinstance(v, int) else jnp.asarray(v))
                 for k, v in self.schedule.mega_tables(
@@ -244,6 +311,13 @@ class LUFactorizer:
                     self.blocked.num_tiles)]
         else:
             self._prepared = self._prepare_levels()
+
+    def _dd_eligible(self) -> bool:
+        """r64/cr64-embedded on a real TPU runs the double-float engine
+        (emulated f64 on TPU is ~1000x slower than f32; the dd engine
+        keeps all FLOPs on the f32 MXU/VPU at ~48-bit precision)."""
+        return (jnp.dtype(self.blocked.dtype) == jnp.float64
+                and jax.default_backend() == "tpu")
 
     def _mega_eligible(self) -> bool:
         """The single-launch Pallas mega-kernel handles f32 tiles with
@@ -287,6 +361,36 @@ class LUFactorizer:
         final sync.  The returned tiles are a valid async value either
         way.
         """
+        if self.dispatch == "dd":
+            from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
+
+            if isinstance(tiles, DdTiles):
+                th, tl = tiles.hi, tiles.lo
+            else:
+                # split f64 host tiles into hi/lo f32 pairs; only f32
+                # ever reaches the device
+                with self.perf.phase("preprocess"):
+                    host = self.blocked.tiles
+                    hi = host.astype(np.float32)
+                    lo = (host - hi.astype(np.float64)).astype(np.float32)
+                    th = device_sync(jnp.asarray(hi))
+                    tl = jnp.asarray(lo)
+            tol = (self.backend.tol if getattr(self.backend, "tol", None)
+                   else float(DEFAULT_TOL[jnp.dtype(np.float64)]))
+            with self.perf.phase("numeric"):
+                th, tl, invh, invl = _fused_factorize_dd(
+                    self.blocked.nb, tol, th, tl, *self._fused_args)
+                if sync:
+                    th = device_sync(th)
+            self.inv_tiles = (invh, invl)
+            self.perf.add_flops(self.schedule.flop_estimate())
+            self.perf.kernel_counts(
+                getrf=self.schedule.block_length,
+                tstrf=self.schedule.n_tstrf,
+                gessm=self.schedule.n_gessm,
+                ssssm=self.schedule.n_ssssm,
+            )
+            return DdTiles(th, tl)
         if tiles is None:
             # H2D of the tile store counts as preprocessing (the
             # reference scatters blocks in pangulu_preprocessing, not

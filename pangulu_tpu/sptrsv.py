@@ -75,6 +75,38 @@ def _fused_solve(backend: KernelBackend, tiles, x, diag_idx,
     return x
 
 
+@functools.partial(jax.jit, donate_argnums=(4, 5))
+def _fused_solve_dd(th, tl, invh, invl, xh, xl, l_ids, l_rows,
+                    uc_ids, uc_rows):
+    """Whole forward+backward solve in dd arithmetic — matmul-only
+    against the per-level dd triangle inverses persisted by the dd
+    factorization (numeric._fused_factorize_dd)."""
+    from pangulu_tpu.ops import dd as D
+
+    bl = l_ids.shape[0]
+
+    def level(k, x, inv_slot, ids, rows):
+        xh, xl = x
+        kh, kl = D.dd_matmul(invh[k, inv_slot], invl[k, inv_slot],
+                             xh[k], xl[k])
+        xh = xh.at[k].set(kh)
+        xl = xl.at[k].set(kl)
+        ph, pl = D.dd_matmul(th[ids[k]], tl[ids[k]], kh, kl)
+        rws = rows[k]
+        nh, nl = D.dd_sub(xh[rws], xl[rws], ph, pl)
+        return xh.at[rws].set(nh), xl.at[rws].set(nl)
+
+    def fwd(k, x):
+        return level(k, x, 0, l_ids, l_rows)
+
+    def bwd(i, x):
+        return level(bl - 1 - i, x, 1, uc_ids, uc_rows)
+
+    x = jax.lax.fori_loop(0, bl, fwd, (xh, xl))
+    x = jax.lax.fori_loop(0, bl, bwd, x)
+    return x
+
+
 class TriangularSolver:
     """gstrs executor over factored tiles."""
 
@@ -235,9 +267,46 @@ class TriangularSolver:
             nrhs, bl * nb)[:, : self.blocked.n].T
         return out[:, 0] if squeeze else out
 
+    def _solve_dd(self, tiles, b: np.ndarray) -> np.ndarray:
+        """r64-on-TPU solve: dd arithmetic end to end."""
+        from pangulu_tpu.numeric import DdTiles  # noqa: F401
+
+        if self.inv_tiles is None or not isinstance(self.inv_tiles,
+                                                    tuple):
+            raise RuntimeError(
+                "dd solve requires the dd factorization's persisted "
+                "inverses (factor with the dd engine first)")
+        invh, invl = self.inv_tiles
+        bl, nb = self.schedule.block_length, self.schedule.nb
+        b2 = np.asarray(b, dtype=np.float64)
+        squeeze = b2.ndim == 1
+        if squeeze:
+            b2 = b2[:, None]
+        nrhs = b2.shape[1]
+        xb = np.zeros((bl + 1, nb, nrhs), dtype=np.float64)
+        xb[:bl].reshape(bl * nb, nrhs)[: b2.shape[0]] = b2
+        xh = xb.astype(np.float32)
+        xl = (xb - xh.astype(np.float64)).astype(np.float32)
+        _, l_ids, l_rows, uc_ids, uc_rows = (
+            jnp.asarray(t) for t in self.schedule.fused_solve_tables(
+                self.blocked.num_tiles, bl))
+        with self.perf.phase("sptrsv"):
+            oh, ol = _fused_solve_dd(
+                tiles.hi, tiles.lo, invh, invl, jnp.asarray(xh),
+                jnp.asarray(xl), l_ids, l_rows, uc_ids, uc_rows)
+            oh = device_sync(oh)
+        out = (np.asarray(oh).astype(np.float64)
+               + np.asarray(ol).astype(np.float64))
+        out = out[:bl].reshape(bl * nb, nrhs)[: self.blocked.n]
+        return out[:, 0] if squeeze else out
+
     def solve(self, tiles, b: np.ndarray) -> np.ndarray:
         """Solve LU x = b on the factored tiles.  Returns x with the
         same leading shape as b (pangulu_solve, pangulu_sptrsv.c:176)."""
+        from pangulu_tpu.numeric import DdTiles
+
+        if isinstance(tiles, DdTiles):
+            return self._solve_dd(tiles, b)
         squeeze = np.asarray(b).ndim == 1
         nrhs = 1 if squeeze else np.asarray(b).shape[1]
         if self._mega_eligible(nrhs):

@@ -1,0 +1,130 @@
+"""Double-float (dd) arithmetic and the r64-on-TPU engine (ops/dd.py,
+numeric dispatch="dd"): f64-class results from f32-only device math.
+On the CPU test backend the error-free transforms take the exact-f64
+path; the engine structure (slicing, dd matmuls, dd LU, dd solve) is
+identical to what runs on the TPU."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+
+from pangulu_tpu.blocks import gather_factor, tile_matrix
+from pangulu_tpu.io.mmio import generated_rhs
+from pangulu_tpu.models import poisson2d, smallworld
+from pangulu_tpu.numeric import DdTiles, LUFactorizer
+from pangulu_tpu.ops import dd as D
+from pangulu_tpu.reorder import reorder
+from pangulu_tpu.schedule import build_schedule
+from pangulu_tpu.sptrsv import TriangularSolver
+from pangulu_tpu.symbolic import symbolic
+from pangulu_tpu.utils.perf import factorization_residual, residual_norm
+
+
+def test_dd_roundtrip_and_add_mul():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(512) * np.exp(rng.standard_normal(512) * 3)
+    y = rng.standard_normal(512)
+    xh, xl = D.dd(x)
+    yh, yl = D.dd(y)
+    assert np.max(np.abs(D.dd_to_f64(xh, xl) - x)) < 1e-13 * np.max(
+        np.abs(x))
+    sh, sl = jax.jit(D.dd_add)(xh, xl, yh, yl)
+    rel = np.max(np.abs(D.dd_to_f64(sh, sl) - (x + y))
+                 / (np.abs(x) + np.abs(y) + 1e-30))
+    assert rel < 1e-13
+    ph, pl = jax.jit(D.dd_mul)(xh, xl, yh, yl)
+    rel = np.max(np.abs(D.dd_to_f64(ph, pl) - x * y)
+                 / (np.abs(x * y) + 1e-30))
+    assert rel < 1e-13
+    qh, ql = jax.jit(D.dd_div)(xh, xl, yh, yl)
+    rel = np.max(np.abs(D.dd_to_f64(qh, ql) - x / y)
+                 / (np.abs(x / y) + 1e-30))
+    assert rel < 1e-12
+
+
+def test_dd_matmul_accuracy():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((96, 128)) * np.exp(
+        rng.standard_normal((96, 128)))
+    b = rng.standard_normal((128, 64))
+    ch, cl = jax.jit(D.dd_matmul)(*D.dd(a), *D.dd(b))
+    rel = np.max(np.abs(D.dd_to_f64(ch, cl) - a @ b)
+                 / (np.abs(a) @ np.abs(b) + 1e-30))
+    assert rel < 1e-11
+
+
+def test_dd_lu_inverses_vs_f64():
+    rng = np.random.default_rng(2)
+    for nb in (32, 48, 64):
+        a = rng.standard_normal((nb, nb)) + np.eye(nb) * 6
+        (fh, fl), li, ui = jax.jit(functools.partial(
+            D.dd_lu_inverses, nb=nb, tol=1e-30))(*D.dd(a))
+        fv = D.dd_to_f64(fh, fl)
+        L = np.tril(fv, -1) + np.eye(nb)
+        U = np.triu(fv)
+        assert np.max(np.abs(L @ U - a)) / np.max(np.abs(a)) < 1e-12
+        assert np.max(np.abs(D.dd_to_f64(*li) @ L - np.eye(nb))) < 1e-10
+        assert np.max(np.abs(D.dd_to_f64(*ui) @ U - np.eye(nb))) < 1e-10
+
+
+def _problem(a, nb):
+    ro = reorder(a, ordering="rcm")
+    symb = symbolic(ro.reordered, nb)
+    blocked = tile_matrix(ro.reordered, symb)
+    return ro, blocked, build_schedule(blocked)
+
+
+def test_dd_engine_factorization_residual():
+    """The VERDICT r1 done-criterion shape: r64 factors via the dd
+    engine with residual <= 1e-12 (here on CPU; the identical code
+    path runs on the chip)."""
+    a = poisson2d(12)
+    ro, blocked, schedule = _problem(a, 16)
+    fac = LUFactorizer(blocked, schedule, dispatch="dd")
+    tiles = fac.factorize()
+    assert isinstance(tiles, DdTiles)
+    lmat, umat = gather_factor(blocked, np.asarray(tiles))
+    res = factorization_residual(ro.reordered.to_scipy(), lmat, umat)
+    assert res < 1e-12, res
+
+
+def test_dd_end_to_end_solve():
+    a = smallworld(12)
+    ro, blocked, schedule = _problem(a, 16)
+    fac = LUFactorizer(blocked, schedule, dispatch="dd")
+    tiles = fac.factorize()
+    ts = TriangularSolver(blocked, schedule, inv_tiles=fac.inv_tiles)
+    b = generated_rhs(a)
+    w = ts.solve(tiles, ro.transform_b(b))
+    x = ro.transform_x(w)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-12
+
+
+def test_dd_multi_rhs():
+    a = poisson2d(10)
+    ro, blocked, schedule = _problem(a, 16)
+    fac = LUFactorizer(blocked, schedule, dispatch="dd")
+    tiles = fac.factorize()
+    ts = TriangularSolver(blocked, schedule, inv_tiles=fac.inv_tiles)
+    rng = np.random.default_rng(3)
+    xs = rng.standard_normal((a.n, 3))
+    bs = np.asarray(ro.reordered.to_scipy() @ xs)
+    w = ts.solve(tiles, bs)
+    np.testing.assert_allclose(w, xs, rtol=1e-10, atol=1e-10)
+
+
+def test_dd_matches_f64_engine():
+    """dd factors must agree with the native-f64 fused engine to
+    ~dd precision."""
+    a = poisson2d(8)
+    ro, blocked, schedule = _problem(a, 8)
+    t64 = np.asarray(LUFactorizer(blocked, schedule,
+                                  dispatch="fused").factorize())
+    tdd = np.asarray(LUFactorizer(blocked, schedule,
+                                  dispatch="dd").factorize())
+    nt = blocked.num_tiles
+    np.testing.assert_allclose(tdd[:nt], t64[:nt], rtol=1e-11,
+                               atol=1e-11)
