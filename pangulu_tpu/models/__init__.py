@@ -1,5 +1,6 @@
 from pangulu_tpu.models.generators import (
     arrowhead,
+    circuit,
     poisson2d,
     poisson3d,
     random_unsymmetric,
@@ -9,6 +10,7 @@ from pangulu_tpu.models.generators import (
 
 __all__ = [
     "trefethen",
+    "circuit",
     "poisson2d",
     "poisson3d",
     "random_unsymmetric",

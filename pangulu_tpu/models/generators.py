@@ -111,3 +111,54 @@ def arrowhead(n: int, dtype=np.float64) -> CscMatrix:
     a[:, 0] = 1.0
     a[0, 0] = float(n)
     return CscMatrix.from_scipy(sp.csc_matrix(a).astype(dtype))
+
+
+def circuit(n: int, seed: int = 0, dtype=np.float64) -> CscMatrix:
+    """Synthetic circuit-simulation (modified-nodal-analysis-like)
+    matrix — the reference's target class (README.md:131-153 validates
+    on SuiteSparse circuit matrices, which cannot be downloaded in
+    this environment): pattern-unsymmetric, wildly scaled values
+    (conductances spanning ~8 decades),
+    a fraction of STRUCTURALLY ZERO diagonal entries (voltage-source
+    rows), and a few dense rows/columns (supply rails).  Unpivoted LU
+    fails outright on it without MC64 matching+scaling."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+
+    def add(r, c, v):
+        rows.append(r)
+        cols.append(c)
+        vals.append(v)
+
+    # sparse irregular conductance couplings (unsymmetric pattern)
+    m = 4 * n
+    r = rng.integers(0, n, size=m)
+    c = rng.integers(0, n, size=m)
+    scale = 10.0 ** rng.uniform(-6, 2, size=m)
+    for i in range(m):
+        if r[i] != c[i]:
+            add(int(r[i]), int(c[i]), float(scale[i]
+                                            * rng.choice([-1.0, 1.0])))
+    # a few dense "supply rail" rows and columns
+    for rail in rng.integers(0, n, size=max(n // 200, 2)):
+        js = rng.integers(0, n, size=n // 10)
+        for j in js:
+            add(int(rail), int(j), float(10.0 ** rng.uniform(-6, 0)))
+            add(int(j), int(rail), float(10.0 ** rng.uniform(-6, 0)))
+    # diagonals: most present (dominant-ish), ~10% structurally zero
+    # (their pivots must come from MC64 row matching)
+    zero_diag = set(rng.choice(n, size=n // 10, replace=False).tolist())
+    for j in range(n):
+        if j not in zero_diag:
+            add(j, j, float(10.0 ** rng.uniform(-5, 2)))
+        else:
+            # give the matched row somewhere to pivot from: a strong
+            # off-diagonal pair
+            k = int((j + 1 + rng.integers(0, n - 1)) % n)
+            if k != j:
+                add(j, k, float(10.0 ** rng.uniform(0, 2)))
+                add(k, j, float(10.0 ** rng.uniform(0, 2)))
+    a = sp.csc_matrix(
+        (np.array(vals), (np.array(rows), np.array(cols))), shape=(n, n))
+    a.sum_duplicates()
+    return CscMatrix.from_scipy(sp.csc_matrix(a).astype(dtype))
