@@ -27,7 +27,7 @@ extern "C" {
 // ABI version stamp: the ctypes loader rebuilds the .so when this does
 // not match (a stale binary from an older source otherwise survives
 // because the loader only builds when the file is absent).
-int64_t pangulu_abi_version() { return 4; }
+int64_t pangulu_abi_version() { return 5; }
 
 // ---------------------------------------------------------------------------
 // Elimination tree (Liu's algorithm) on a symmetric pattern in CSR.
@@ -110,6 +110,32 @@ int64_t pangulu_fill_walk_counts(int64_t n, const int64_t* indptr,
     }
   }
   return count;
+}
+
+// Emit every strictly-lower fill entry (i, j) of L (original + fill).
+// Caller sizes out_i/out_j from a prior pangulu_fill_walk count.
+// Returns the number written.
+int64_t pangulu_fill_entries(int64_t n, const int64_t* indptr,
+                             const int32_t* indices, const int64_t* parent,
+                             int32_t* out_i, int32_t* out_j) {
+  std::vector<int64_t> visited(n, -1);
+  int64_t k = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    visited[i] = i;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int64_t j = indices[p];
+      if (j >= i) continue;
+      while (visited[j] != i) {
+        visited[j] = i;
+        out_i[k] = static_cast<int32_t>(i);
+        out_j[k] = static_cast<int32_t>(j);
+        ++k;
+        j = parent[j];
+        if (j == -1 || j >= i) break;
+      }
+    }
+  }
+  return k;
 }
 
 // ---------------------------------------------------------------------------

@@ -64,6 +64,12 @@ class InitOptions:
                                        # phase (reference: -DPANGULU_PERF
                                        # timers; ours captures full XLA
                                        # traces viewable in XProf)
+    tile_storage: str = "dense"  # "dense" = nb^2 MXU tiles (fast path);
+                                 # "compressed" = O(fill-nnz) u16-indexed
+                                 # capacity-class storage (reference:
+                                 # pangulu_storage.c bins) — several-fold
+                                 # less HBM at low per-tile fill, slower
+                                 # per level (gather/scatter staging)
     complex_mode: str = "auto"   # cr32/cr64 execution: "native" complex
                                  # arithmetic, "embed" = real 2x2
                                  # embedding (rides the TPU real-f32
@@ -254,7 +260,24 @@ def gstrf(handle: Handle) -> None:
 
         profile_ctx = _jax.profiler.trace(handle.opts.profile_dir)
         profile_ctx.__enter__()
-    if handle.opts.mesh_shape is not None:
+    if handle.opts.tile_storage == "compressed":
+        from pangulu_tpu.compressed import CompressedLU
+
+        if handle.opts.mesh_shape is not None:
+            raise ValueError("tile_storage='compressed' is single-chip "
+                             "(use dense tiles for multi-chip meshes)")
+        handle._factorizer = CompressedLU(
+            handle.blocked, handle.schedule,
+            handle.reordering.reordered, backend=backend,
+            perf=handle.perf)
+        handle.factor_tiles = handle._factorizer.factorize()
+        log.info("compressed tile store: %.1f MiB vs %.1f MiB dense "
+                 "(%.1fx)",
+                 handle.factor_tiles.compressed_bytes / 2 ** 20,
+                 handle.factor_tiles.dense_bytes / 2 ** 20,
+                 handle.factor_tiles.dense_bytes
+                 / max(handle.factor_tiles.compressed_bytes, 1))
+    elif handle.opts.mesh_shape is not None:
         from pangulu_tpu.parallel.dist_numeric import DistributedLU
 
         if handle.opts.mesh_shape == "auto":
@@ -303,7 +326,11 @@ def gstrf(handle: Handle) -> None:
 
 def _solve_once(handle: Handle, b: np.ndarray) -> np.ndarray:
     bt = handle.reordering.transform_b(b)
-    if handle._dist is not None:
+    from pangulu_tpu.compressed import CompressedTiles
+
+    if isinstance(handle.factor_tiles, CompressedTiles):
+        w = handle._factorizer.solve(bt)
+    elif handle._dist is not None:
         w = handle._trisolver.solve(handle._dist.dist_tiles, bt)
     else:
         w = handle._trisolver.solve(handle.factor_tiles, bt)
@@ -338,7 +365,11 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
     work_dtype = handle.blocked.dtype
     b_in = np.asarray(b)
     b = b_in.astype(work_dtype)
-    if handle._trisolver is None:
+    from pangulu_tpu.compressed import CompressedTiles
+
+    if isinstance(handle.factor_tiles, CompressedTiles):
+        pass  # _solve_once routes to the compressed executor directly
+    elif handle._trisolver is None:
         backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
                               dtype=work_dtype)
         if handle._dist is not None and handle._dist.single is None:

@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of the numeric "
                          "phase (viewable in XProf/TensorBoard)")
+    ap.add_argument("--tile-storage", default="dense",
+                    choices=["dense", "compressed"],
+                    help="factor storage: dense MXU tiles (fast) or "
+                         "O(fill) compressed slots (low memory)")
     ap.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"],
                     help="force a JAX platform (r64/cr64 run fastest on "
@@ -112,6 +116,7 @@ def main(argv=None):
                            symbolic_mode=args.symbolic,
                            backend=args.backend, check=args.check,
                            mesh_shape=mesh_shape, refine=args.refine,
+                           tile_storage=args.tile_storage,
                            profile_dir=args.profile_dir)
         handle = init(a, opts)
         gstrf(handle)
