@@ -34,7 +34,7 @@ from pangulu_tpu.blocks import BlockedMatrix
 from pangulu_tpu.ops.interface import KernelBackend, get_backend
 from pangulu_tpu.schedule import Schedule, bucket, build_schedule
 from pangulu_tpu.sparse import CscMatrix, symmetrize_pattern
-from pangulu_tpu.symbolic import SymbolicResult, elimination_tree
+from pangulu_tpu.symbolic import elimination_tree
 from pangulu_tpu.utils import device_sync
 from pangulu_tpu.utils.perf import PerfCounters
 
