@@ -174,3 +174,75 @@ def test_mega_multi_update_chunks():
     nt = h.blocked.num_tiles
     np.testing.assert_allclose(t_mega[:nt], t_ref[:nt],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mega_pch_one_no_half_branch():
+    """pch=1 compiles the kernel variant WITHOUT the half-width
+    row-product branch (python-level guard `half >= 1` is False) —
+    a distinct code path from every other panel width."""
+    import jax.numpy as jnp
+
+    from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
+    from pangulu_tpu.ops.kernels_pallas import mega_factorize
+
+    a = poisson2d(8)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="rcm"))
+    nt = h.blocked.num_tiles
+    t = {k: (v if isinstance(v, int) else jnp.asarray(v))
+         for k, v in h.schedule.mega_tables(nt, max_pch=1).items()}
+    assert t["pch"] == 1
+    tiles, _ = mega_factorize(
+        h.blocked.device_tiles(), t["diag_tab"], t["nl_tab"],
+        t["nu_tab"], t["nup_tab"], t["lid_tab"], t["uid_tab"],
+        t["udst_tab"], t["udl_tab"], t["udu_tab"], nb=16,
+        tol=float(DEFAULT_TOL[jnp.dtype(h.blocked.dtype)]),
+        bl=h.schedule.block_length, pch=1)
+    fused = LUFactorizer(h.blocked, h.schedule,
+                         backend=get_backend("jax"), dispatch="fused")
+    t_fused = np.asarray(fused.factorize())
+    np.testing.assert_allclose(np.asarray(tiles)[:nt], t_fused[:nt],
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nx", [7, 8])
+def test_mega_solve_bl_parity(nx):
+    """The solve kernel's semaphore-drain ledger depends on bl's
+    parity (slot bl%2 holds the unwaited prologue pair) — cover an odd
+    AND an even level count."""
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a = poisson2d(nx)
+    h = init(a, InitOptions(nb=8, dtype="r32", ordering="natural",
+                            mc64=False))
+    bl = h.schedule.block_length
+    assert bl % 2 == nx % 2  # 7 -> odd bl, 8 -> even bl at nb=8
+    bk = get_backend("pallas", nb=8, dtype=h.blocked.dtype)
+    mega = LUFactorizer(h.blocked, h.schedule, backend=bk,
+                        dispatch="mega")
+    tiles = mega.factorize()
+    import jax.numpy as jnp
+
+    from pangulu_tpu.schedule import bucket
+    from pangulu_tpu.ops.kernels_pallas import mega_solve
+
+    ts = TriangularSolver(h.blocked, h.schedule, backend=bk,
+                          inv_tiles=mega.inv_tiles)
+    t = h.schedule.mega_solve_tables(h.blocked.num_tiles)
+    npan = max(bucket(max(int(t["nl_tab"].max(initial=0)),
+                          int(t["nuc_tab"].max(initial=0)), 1)), 1)
+    b = np.asarray(a.to_scipy() @ np.ones(a.n, np.float32))
+    bt = h.reordering.transform_b(b).astype(np.float32)
+    nb = 8
+    xh = np.zeros((1, bl + 1, nb), dtype=np.float32)
+    xh[:, :bl].reshape(1, bl * nb)[:, : a.n] = bt
+    x = mega_solve(jnp.asarray(xh), jnp.asarray(tiles),
+                   ts._ensure_inverses(tiles),
+                   jnp.asarray(t["nl_tab"]), jnp.asarray(t["nuc_tab"]),
+                   jnp.asarray(t["lid_tab"]), jnp.asarray(t["lrow_tab"]),
+                   jnp.asarray(t["ucid_tab"]),
+                   jnp.asarray(t["ucrow_tab"]), nb=nb, bl=bl, npan=npan)
+    w = np.asarray(x)[0, :bl].reshape(bl * nb)[: a.n]
+    xs = h.reordering.transform_x(w)
+    from pangulu_tpu.utils.perf import residual_norm
+
+    assert residual_norm(a.to_scipy(), xs, b) < 1e-3
