@@ -324,10 +324,15 @@ def gstrf(handle: Handle) -> None:
         handle.perf.kernels["gstrf_residual"] = res
 
 
-def _solve_once(handle: Handle, b: np.ndarray) -> np.ndarray:
-    bt = handle.reordering.transform_b(b)
+def _solve_once(handle: Handle, b: np.ndarray,
+                trans: bool = False) -> np.ndarray:
     from pangulu_tpu.compressed import CompressedTiles
 
+    if trans:
+        bt = handle.reordering.transform_b_trans(b)
+        w = handle._trisolver.solve_trans(handle.factor_tiles, bt)
+        return handle.reordering.transform_x_trans(w)
+    bt = handle.reordering.transform_b(b)
     if isinstance(handle.factor_tiles, CompressedTiles):
         w = handle._factorizer.solve(bt)
     elif handle._dist is not None:
@@ -337,8 +342,8 @@ def _solve_once(handle: Handle, b: np.ndarray) -> np.ndarray:
     return handle.reordering.transform_x(w)
 
 
-def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
-          ) -> np.ndarray:
+def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None,
+          trans: bool = False) -> np.ndarray:
     """Triangular solves for one or many rhs (reference: pangulu_gstrs,
     pangulu.c:271): reorder b, solve, un-reorder x.
 
@@ -347,21 +352,39 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
     (f32 on the MXU), then correct with float64 host residuals
     ``r = b - A x`` and extra triangular solves.  Default: the value
     from InitOptions (0 for r64/cr64, 2 for r32/cr32).
+
+    ``trans``: solve ``A^T x = b`` from the SAME factors
+    (A^T = U^T L^T; no reference equivalent — SuperLU-style surface).
+    Supported on the single-chip dense-tile path.
     """
     if handle.factor_tiles is None:
         raise RuntimeError("gstrs called before gstrf (reference aborts "
                            "the same way)")
+    if trans:
+        from pangulu_tpu.compressed import CompressedTiles
+        from pangulu_tpu.numeric import DdTiles
+
+        if (handle._dist is not None and handle._dist.single is None) \
+                or isinstance(handle.factor_tiles,
+                              (CompressedTiles, DdTiles)):
+            raise NotImplementedError(
+                "transpose solve requires the single-chip dense-tile "
+                "path (not distributed/compressed/dd factors)")
     if handle.complex_embed is not None:
         # complex rhs -> interleaved real rhs; solve the real embedding;
-        # fold back to complex (see sparse.complex_embed_matrix)
+        # fold back to complex (see sparse.complex_embed_matrix).
+        # Transpose: emb(A)^T = emb(A^H), so A^T x = b is solved as
+        # A^H conj(x) = conj(b).
         emb = handle.complex_embed
-        br = complex_embed_rhs(np.asarray(b).astype(emb))
+        bc = np.conj(b) if trans else np.asarray(b)
+        br = complex_embed_rhs(np.asarray(bc).astype(emb))
         handle.complex_embed = None
         try:
-            xr = gstrs(handle, br, refine=refine)
+            xr = gstrs(handle, br, refine=refine, trans=trans)
         finally:
             handle.complex_embed = emb
-        return complex_unembed_x(xr, emb)
+        x = complex_unembed_x(xr, emb)
+        return np.conj(x) if trans else x
     work_dtype = handle.blocked.dtype
     b_in = np.asarray(b)
     b = b_in.astype(work_dtype)
@@ -398,11 +421,13 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
     if refine is None or refine < 0:  # auto
         refine = 2 if work_dtype.itemsize <= 8 and np.dtype(
             work_dtype).char in "fF" else 0
-    x = _solve_once(handle, b)
+    x = _solve_once(handle, b, trans=trans)
     if refine:
         acc = (np.complex128 if np.iscomplexobj(b)
                else np.float64)
         a64 = handle.a_origin.astype(acc)
+        if trans:
+            a64 = a64.T.tocsc()
         x64 = x.astype(acc)
         b64 = b_in.astype(acc)
         prev = None
@@ -415,7 +440,7 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None
                          "f32 pivoting) limits further gains", rn)
                 break
             prev = rn
-            dx = _solve_once(handle, r.astype(work_dtype))
+            dx = _solve_once(handle, r.astype(work_dtype), trans=trans)
             x64 = x64 + dx.astype(acc)
         return x64.astype(b_in.dtype) if np.issubdtype(
             b_in.dtype, np.floating) or np.issubdtype(

@@ -75,6 +75,38 @@ def _fused_solve(backend: KernelBackend, tiles, x, diag_idx,
     return x
 
 
+@functools.partial(jax.jit, donate_argnums=(2,))
+def _fused_solve_trans(tiles, invs, x, l_ids, l_rows, uc_ids, uc_rows):
+    """Whole TRANSPOSE solve (A^T x = b from the same factors,
+    A^T = U^T L^T) in one dispatch.  LEFT-looking so the existing
+    column-panel tables serve both sweeps: forward on U^T gathers
+    column k's above-diagonal tiles transposed; backward on L^T its
+    below-diagonal tiles.  Padded entries contribute exactly zero (the
+    scratch x-segment is never written, so it stays zero).  Diag steps
+    are matmuls against the transposed persisted inverses
+    ((U^-1)^T = (U^T)^-1)."""
+    bl = l_ids.shape[0]
+    dt = x.dtype
+
+    def level(k, x, inv_slot, ids, rows):
+        upd = jnp.einsum("bji,bjr->ir", tiles[ids[k]], x[rows[k]],
+                         preferred_element_type=dt)
+        acc = x[k] - upd
+        xk = jnp.matmul(invs[k, inv_slot].T, acc,
+                        preferred_element_type=dt)
+        return x.at[k].set(xk)
+
+    def fwd(k, x):                      # U^T y = b
+        return level(k, x, 1, uc_ids, uc_rows)
+
+    def bwd(i, x):                      # L^T x = y
+        return level(bl - 1 - i, x, 0, l_ids, l_rows)
+
+    x = jax.lax.fori_loop(0, bl, fwd, x)
+    x = jax.lax.fori_loop(0, bl, bwd, x)
+    return x
+
+
 @functools.partial(jax.jit, donate_argnums=(4, 5))
 def _fused_solve_dd(th, tl, invh, invl, xh, xl, l_ids, l_rows,
                     uc_ids, uc_rows):
@@ -298,6 +330,24 @@ class TriangularSolver:
         out = (np.asarray(oh).astype(np.float64)
                + np.asarray(ol).astype(np.float64))
         out = out[:bl].reshape(bl * nb, nrhs)[: self.blocked.n]
+        return out[:, 0] if squeeze else out
+
+    def solve_trans(self, tiles, b: np.ndarray) -> np.ndarray:
+        """Solve (LU)^T x = b on the same factors (transpose solve —
+        no reference equivalent; SuperLU-style trans surface)."""
+        squeeze = np.asarray(b).ndim == 1
+        x = self.blockify_rhs(b)
+        tiles = device_sync(jnp.asarray(tiles))
+        invs = self._ensure_inverses(tiles)
+        _, l_ids, l_rows, uc_ids, uc_rows = (
+            jnp.asarray(t) for t in self.schedule.fused_solve_tables(
+                self.blocked.num_tiles, self.schedule.block_length))
+        ctx = jax.default_matmul_precision(self.precision)
+        with self.perf.phase("sptrsv"), ctx:
+            x = _fused_solve_trans(tiles, invs, x, l_ids, l_rows,
+                                   uc_ids, uc_rows)
+            x = device_sync(x)
+        out = self.unblockify(x)
         return out[:, 0] if squeeze else out
 
     def solve(self, tiles, b: np.ndarray) -> np.ndarray:

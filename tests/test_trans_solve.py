@@ -1,0 +1,73 @@
+"""Transpose solve A^T x = b from the same factors (sptrsv
+_fused_solve_trans + gstrs(trans=True)) — beyond the reference's API
+(SuperLU-style trans surface)."""
+
+import numpy as np
+import pytest
+
+from pangulu_tpu.api import InitOptions, finalize, gstrf, gstrs, init
+from pangulu_tpu.models import circuit, poisson2d, random_unsymmetric
+from pangulu_tpu.utils.perf import residual_norm
+
+
+@pytest.mark.parametrize("gen,kw,dtype", [
+    (poisson2d, dict(nx=9), "r64"),
+    (random_unsymmetric, dict(n=150, density=0.05, seed=3), "r64"),
+    (circuit, dict(n=400, seed=6), "r64"),
+    (random_unsymmetric, dict(n=120, density=0.05, seed=4), "r32"),
+])
+def test_transpose_solve(gen, kw, dtype):
+    a = gen(**kw)
+    s = a.to_scipy()
+    rng = np.random.default_rng(0)
+    xt = rng.standard_normal(a.n)
+    bt = np.asarray(s.T @ xt)
+    h = init(a, InitOptions(nb=16, dtype=dtype))
+    gstrf(h)
+    x = gstrs(h, bt, trans=True)
+    res = residual_norm(s.T.tocsc(), x, bt)
+    tol = 1e-10 if dtype == "r64" else 1e-5
+    assert res < tol, res
+    # normal solve still works on the same handle
+    b = np.asarray(s @ xt)
+    x2 = gstrs(h, b)
+    assert residual_norm(s, x2, b) < tol
+    finalize(h)
+
+
+def test_transpose_solve_multi_rhs():
+    a = random_unsymmetric(120, 0.06, seed=9)
+    s = a.to_scipy()
+    rng = np.random.default_rng(1)
+    xs = rng.standard_normal((a.n, 3))
+    bs = np.asarray(s.T @ xs)
+    h = init(a, InitOptions(nb=16, dtype="r64"))
+    gstrf(h)
+    xg = gstrs(h, bs, trans=True)
+    np.testing.assert_allclose(xg, xs, rtol=1e-8, atol=1e-8)
+    finalize(h)
+
+
+def test_transpose_solve_complex_embed():
+    """trans=True means plain transpose for complex too: the real
+    embedding's transpose is emb(A^H), handled via conjugation."""
+    a = random_unsymmetric(90, 0.06, seed=12, dtype=np.complex128)
+    s = a.to_scipy()
+    rng = np.random.default_rng(2)
+    xt = rng.standard_normal(a.n) + 1j * rng.standard_normal(a.n)
+    bt = np.asarray(s.T @ xt)
+    h = init(a, InitOptions(nb=16, dtype="cr64", complex_mode="embed"))
+    gstrf(h)
+    x = gstrs(h, bt, trans=True)
+    assert residual_norm(s.T.tocsc(), x, bt) < 1e-10
+    finalize(h)
+
+
+def test_transpose_solve_unsupported_paths_raise():
+    a = poisson2d(8)
+    h = init(a, InitOptions(nb=8, dtype="r64",
+                            tile_storage="compressed"))
+    gstrf(h)
+    with pytest.raises(NotImplementedError):
+        gstrs(h, np.ones(a.n), trans=True)
+    finalize(h)

@@ -72,3 +72,38 @@ res = residual_norm(a.to_scipy(), x, b)
 print(f"poisson3d(64) n=262144 END-TO-END: init {t_init:.1f}s  "
       f"gstrf {t_f:.1f}s (incl compile)  gstrs {t_s:.1f}s  "
       f"residual {res:.2e}")
+
+# round-2 paths on the real chip: double-float r64, complex-embed cr64
+# (-> dd), nd ordering through the mega kernel, compressed storage
+extra = [
+    ("r64 dd poisson3d(12)",
+     poisson3d(12), InitOptions(nb=128, dtype="r64")),
+    ("cr64 dd random(900)",
+     random_unsymmetric(900, 0.008, seed=11, dtype=np.complex128),
+     InitOptions(nb=128, dtype="cr64")),
+    ("nd ordering smallworld",
+     smallworld(40, long_range=0.08, seed=3),
+     InitOptions(nb=128, dtype="r32", ordering="nd")),
+    ("compressed circuit(800)",
+     None, None),  # built below (needs import)
+]
+from pangulu_tpu.models import circuit  # noqa: E402
+for name, a, opts in extra:
+    if a is None:
+        a = circuit(800, seed=5)
+        opts = InitOptions(nb=32, dtype="r64",
+                           tile_storage="compressed")
+    h = init(a, opts)
+    ones = (np.ones(a.n) + 0.5j if np.iscomplexobj(a.values)
+            else np.ones(a.n))
+    b = np.asarray(a.to_scipy() @ ones)
+    gstrf(h)
+    disp = (h._factorizer.dispatch
+            if getattr(h._factorizer, "dispatch", None) else
+            type(h._factorizer).__name__)
+    x = gstrs(h, b)
+    res = residual_norm(a.to_scipy(), x, b)
+    print(f"{name:22s} n={a.n:7d} dispatch={disp:10s} "
+          f"residual={res:.2e} {'OK' if res < 1e-4 else 'FAIL'}",
+          flush=True)
+    finalize(h)
