@@ -144,6 +144,13 @@ class CompressedTiles:
         self.cap = jnp.asarray(np.append(cap, 0).astype(np.int32))
         self.idx = jnp.asarray(idx)
         self.values = jnp.asarray(values)
+        if self.values.dtype != values.dtype:
+            raise ValueError(
+                f"device would silently downcast the {values.dtype} "
+                f"compressed store to {self.values.dtype} — enable "
+                f"jax_enable_x64 for r64/cr64 compressed storage, or "
+                f"use r32/dense (r64-on-TPU at speed is the dense dd "
+                f"engine)")
         self.host_off, self.host_cap = off, cap
 
     # -- memory accounting -------------------------------------------------

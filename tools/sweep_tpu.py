@@ -90,9 +90,11 @@ extra = [
 from pangulu_tpu.models import circuit  # noqa: E402
 for name, a, opts in extra:
     if a is None:
+        # r32 on TPU (the f64 compressed store needs jax_enable_x64;
+        # r64-at-speed on TPU is the dense dd engine)
         a = circuit(800, seed=5)
-        opts = InitOptions(nb=32, dtype="r64",
-                           tile_storage="compressed")
+        opts = InitOptions(nb=32, dtype="r32",
+                           tile_storage="compressed", refine=3)
     h = init(a, opts)
     ones = (np.ones(a.n) + 0.5j if np.iscomplexobj(a.values)
             else np.ones(a.n))
