@@ -253,7 +253,8 @@ _HBM_WARN_BYTES = 12 * 2 ** 30
 def gstrf(handle: Handle) -> None:
     """Numeric factorization (reference: pangulu_gstrf, pangulu.c:211)."""
     backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
-                          dtype=handle.blocked.dtype)
+                          dtype=handle.blocked.dtype,
+                          tol=handle.opts.tol)
     profile_ctx = None
     if handle.opts.profile_dir:
         import jax as _jax

@@ -218,7 +218,7 @@ def _compressed_factorize(backend: KernelBackend, nb: int, capmax: int,
     def body(k, c):
         vals, invs = c
         dg = gather(vals, diag_idx[k][None])[0]
-        diag_f, linv, uinv = backend.diag_factor_invert(dg, None)
+        diag_f, linv, uinv = backend.diag_factor_invert(dg, backend.tol)
         vals = scatter(vals, diag_idx[k][None], diag_f[None])
         invs = invs.at[k, 0].set(linv)
         invs = invs.at[k, 1].set(uinv)

@@ -43,7 +43,7 @@ from pangulu_tpu.utils.perf import PerfCounters
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _diag_step(backend: KernelBackend, tiles, diag_idx):
     """GETRF the diagonal tile; return triangle inverses."""
-    diag, linv, uinv = backend.diag_factor_invert(tiles[diag_idx[0]], None)
+    diag, linv, uinv = backend.diag_factor_invert(tiles[diag_idx[0]], backend.tol)
     tiles = tiles.at[diag_idx[0]].set(diag)
     return tiles, linv, uinv
 
@@ -170,7 +170,7 @@ def _superfused_factorize(backend: KernelBackend, tiles, diag_idx,
     def body(s, tiles):
         d_idx = diag_idx[s]
         diag, linv, uinv = jax.vmap(
-            lambda t: backend.diag_factor_invert(t, None))(tiles[d_idx])
+            lambda t: backend.diag_factor_invert(t, backend.tol))(tiles[d_idx])
         tiles = tiles.at[d_idx].set(diag)
         lblk = jnp.matmul(tiles[l_ids[s]], uinv[l_dsel[s]],
                           preferred_element_type=dt)
@@ -201,7 +201,7 @@ def _fused_factorize(backend: KernelBackend, tiles, diag_idx, l_ids, u_ids,
 
     def body(k, tiles):
         d_idx = diag_idx[k]
-        diag, linv, uinv = backend.diag_factor_invert(tiles[d_idx], None)
+        diag, linv, uinv = backend.diag_factor_invert(tiles[d_idx], backend.tol)
         tiles = tiles.at[d_idx].set(diag)
         if has_l:
             lids = l_ids[k]
@@ -375,7 +375,7 @@ class LUFactorizer:
                     lo = (host - hi.astype(np.float64)).astype(np.float32)
                     th = device_sync(jnp.asarray(hi))
                     tl = jnp.asarray(lo)
-            tol = (self.backend.tol if getattr(self.backend, "tol", None)
+            tol = (self.backend.tol if self.backend.tol is not None
                    else float(DEFAULT_TOL[jnp.dtype(np.float64)]))
             with self.perf.phase("numeric"):
                 th, tl, invh, invl = _fused_factorize_dd(
@@ -403,13 +403,14 @@ class LUFactorizer:
             from pangulu_tpu.ops.kernels_pallas import mega_factorize
 
             t = self._mega
+            mtol = (self.backend.tol if self.backend.tol is not None
+                    else float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)]))
             with self.perf.phase("numeric"):
                 tiles, self.inv_tiles = mega_factorize(
                     tiles, t["diag_tab"], t["nl_tab"], t["nu_tab"],
                     t["nup_tab"], t["lid_tab"], t["uid_tab"],
                     t["udst_tab"], t["udl_tab"], t["udu_tab"],
-                    nb=self.blocked.nb,
-                    tol=float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)]),
+                    nb=self.blocked.nb, tol=mtol,
                     bl=self.schedule.block_length, pch=t["pch"])
                 if sync:
                     tiles = device_sync(tiles)

@@ -35,6 +35,9 @@ class KernelBackend:
     trsv_upper: Callable
     spmv_sub: Callable
     vecadd: Callable
+    # tiny-pivot substitution threshold baked into the engines' traces
+    # (None = per-dtype DEFAULT_TOL); set via InitOptions.tol
+    tol: float | None = None
 
 
 _REGISTRY: dict[str, KernelBackend] = {}
@@ -65,7 +68,7 @@ def _jax_backend() -> KernelBackend:
 
 
 def get_backend(name: str = "auto", nb: int = 256,
-                dtype=None) -> KernelBackend:
+                dtype=None, tol: float | None = None) -> KernelBackend:
     if not _REGISTRY:
         register_backend(_jax_backend())
         try:
@@ -83,8 +86,12 @@ def get_backend(name: str = "auto", nb: int = 256,
             and (dtype is None
                  or jax.numpy.dtype(dtype) == jax.numpy.float32)
         )
-        return _REGISTRY["pallas" if use_pallas else "jax"]
+        backend = _REGISTRY["pallas" if use_pallas else "jax"]
+        return (dataclasses.replace(backend, tol=tol)
+                if tol is not None else backend)
     if name not in _REGISTRY:
         raise ValueError(
             f"unknown kernel backend {name!r}; have {sorted(_REGISTRY)}")
-    return _REGISTRY[name]
+    backend = _REGISTRY[name]
+    return (dataclasses.replace(backend, tol=tol)
+            if tol is not None else backend)

@@ -314,7 +314,7 @@ class DistributedLU:
                 contrib = jnp.where(is_owner, local_diag,
                                     jnp.zeros_like(local_diag))
                 diag_a = jax.lax.psum(contrib, ("gp", "gq"))
-                diag_f, linv, uinv = backend.diag_factor_invert(diag_a, None)
+                diag_f, linv, uinv = backend.diag_factor_invert(diag_a, backend.tol)
                 tiles = tiles.at[diag_slot[i]].set(
                     jnp.where(is_owner, diag_f, tiles[diag_slot[i]]))
                 # 2. panel solves + masked-psum broadcasts.

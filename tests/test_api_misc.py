@@ -40,3 +40,24 @@ def test_invalid_complex_mode_rejected():
     a = poisson2d(4).to_scipy().astype(np.complex128)
     with pytest.raises(ValueError, match="complex_mode"):
         init(a, InitOptions(nb=8, dtype="cr64", complex_mode="bogus"))
+
+
+def test_init_options_tol_is_honored():
+    """InitOptions.tol must reach the diagonal kernels: with an absurdly
+    large tiny-pivot threshold every pivot is replaced by tol, so the
+    factorization visibly changes."""
+    import numpy as np
+
+    from pangulu_tpu.api import InitOptions, finalize, gstrf, init
+    from pangulu_tpu.models import poisson2d
+
+    a = poisson2d(6)
+    h1 = init(a, InitOptions(nb=8, dtype="r64"))
+    gstrf(h1)
+    t1 = np.asarray(h1.factor_tiles)
+    h2 = init(a, InitOptions(nb=8, dtype="r64", tol=1e6))
+    gstrf(h2)
+    t2 = np.asarray(h2.factor_tiles)
+    assert not np.allclose(t1, t2)
+    finalize(h1)
+    finalize(h2)
