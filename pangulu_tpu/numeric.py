@@ -233,10 +233,6 @@ class LUFactorizer:
 
     # Above this padded/real work ratio the per-level engine wins.
     FUSED_OVERHEAD_LIMIT = 6.0
-    # Use super-level batching when the dependency depth compresses the
-    # level count by at least this factor (chain-like RCM schedules
-    # gain nothing; ND-class schedules compress 4-10x).
-    SUPERLEVEL_COMPRESSION = 0.6
 
     def __init__(self, blocked: BlockedMatrix, schedule: Schedule | None = None,
                  backend: KernelBackend | None = None,
@@ -268,17 +264,19 @@ class LUFactorizer:
                 dispatch = "dd"
             elif self._mega_eligible():
                 dispatch = "mega"
-            elif (len(self.schedule.superlevels())
-                  <= self.SUPERLEVEL_COMPRESSION
-                  * self.schedule.block_length):
-                # real etree parallelism (ND-class orderings): batch
-                # independent columns per dispatch step
-                dispatch = "superfused"
             elif (self.schedule.fused_overhead()
                   <= self.FUSED_OVERHEAD_LIMIT):
                 dispatch = "fused"
             else:
                 dispatch = "segmented"
+            # NOTE: dispatch="superfused" (etree super-level batching)
+            # exists but is never auto-selected: measured slower than
+            # both the mega kernel (on-chip) and the fused engine (CPU)
+            # — batching pads more work than the per-step fixed costs
+            # it amortizes at the XLA level.  The super-level schedule
+            # analysis (Schedule.superlevels) is the input for a future
+            # batched-diag MEGA variant (ROADMAP #1), where the per-
+            # level costs are real (~40 us/level).
         self.dispatch = dispatch
         self._prepared = None
         self._fused_args = None

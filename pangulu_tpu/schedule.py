@@ -277,7 +277,7 @@ class Schedule:
             groups.setdefault(int(d), []).append(k)
         return [groups[d] for d in sorted(groups)]
 
-    def superfused_tables(self, scratch_tile: int, min_run: int = 4):
+    def superfused_tables(self, scratch_tile: int, min_run: int = 1):
         """Per-SEGMENT padded tables for the super-level fused engine.
         Each super-level batches G diagonals (one batched GETRF+invert)
         plus the union of members' panels and Schur updates; upd_l /
@@ -285,6 +285,11 @@ class Schedule:
         consecutive super-levels of one bucketed signature (leaf depths
         have hundreds of members, the root has one — global padding
         would erase the win).
+
+        ``min_run=1`` (default) disables run-merging: super-level
+        sequences are heterogeneous (leaf groups are huge, the root is
+        one column), and merging to the elementwise-max signature was
+        measured to pad 3-5x more work than it saves in dispatches.
 
         Returns a list of
         (diag_idx[S,G], l_ids[S,NL], l_dsel[S,NL], u_ids[S,NU],

@@ -82,10 +82,12 @@ def test_superfused_end_to_end_residual():
     assert res < 1e-12
 
 
-def test_auto_picks_superfused_for_nd():
-    """With an ND ordering (deep compression) and no mega eligibility
-    (CPU), auto dispatch should choose the superfused engine."""
+def test_auto_never_picks_superfused():
+    """superfused is explicitly-requested only: measured slower than
+    fused on CPU and mega on TPU (padding outweighs the amortized
+    fixed costs at XLA level); the super-level ANALYSIS feeds the
+    future batched-diag mega variant."""
     a = smallworld(24)
     ro, blocked, schedule = _problem(a, 16, "nd")
     fac = LUFactorizer(blocked, schedule)
-    assert fac.dispatch == "superfused"
+    assert fac.dispatch != "superfused"
