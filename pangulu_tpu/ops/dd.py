@@ -302,29 +302,33 @@ def dd_lu_inverses(ah, al, *, nb, tol):
     return (fh, fl), (lih, lil), (uih, uil)
 
 
-def _dd_lu_base(ah, al, *, nb, tol):
-    """Base case: masked rank-1 dd LU + block-recursive triangle
-    inverses (the dd counterpart of kernels_pallas._lu_inverses)."""
+def _dd_scan_math(ah, al, *, nb, tol):
+    """Rank-1 dd LU + L-scale finalize, written with MASKED reductions
+    only (Mosaic-legal: no dynamic value slices) — shared by the
+    Pallas kernel (TPU) and the XLA fallback."""
     rows = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     rows_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     cols_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     diag_m = rows_f == cols_f
     lower_m = rows_f > cols_f
-    upper_m = rows_f < cols_f
-    z = jnp.zeros((), f32)
-    tol = f32(tol)
+    # python literals, NOT jnp scalars: inside a pallas_call trace a
+    # jnp scalar becomes a captured array constant, which Mosaic rejects
+    z = float(0.0)
+    tol = float(tol)
 
     def lu_body(k, f):
-        # this is XLA (not a Mosaic kernel): dynamic row/column slices
-        # are legal and far cheaper than the Pallas masked reductions
         fh, fl = f
-        rvh = lax.dynamic_slice_in_dim(fh, k, 1, axis=-2)  # (1, nb)
-        rvl = lax.dynamic_slice_in_dim(fl, k, 1, axis=-2)
-        cvh = lax.dynamic_slice_in_dim(fh, k, 1, axis=-1)  # (nb, 1)
-        cvl = lax.dynamic_slice_in_dim(fl, k, 1, axis=-1)
-        pvh = lax.dynamic_slice_in_dim(rvh, k, 1, axis=-1)  # (1, 1)
-        pvl = lax.dynamic_slice_in_dim(rvl, k, 1, axis=-1)
+        rm = rows_f == k
+        cm = cols_f == k
+        rvh = jnp.sum(jnp.where(rm, fh, z), axis=0, keepdims=True)
+        rvl = jnp.sum(jnp.where(rm, fl, z), axis=0, keepdims=True)
+        cvh = jnp.sum(jnp.where(cm, fh, z), axis=1, keepdims=True)
+        cvl = jnp.sum(jnp.where(cm, fl, z), axis=1, keepdims=True)
+        pvh = jnp.sum(jnp.where(cols == k, rvh, z), axis=1,
+                      keepdims=True)
+        pvl = jnp.sum(jnp.where(cols == k, rvl, z), axis=1,
+                      keepdims=True)
         small = jnp.abs(pvh) < tol
         pvh = jnp.where(small, tol, pvh)
         pvl = jnp.where(small, z, pvl)
@@ -351,6 +355,57 @@ def _dd_lu_base(ah, al, *, nb, tol):
     fh, fl = dd_where(lower_m, sh, sl, fh, fl)
     fh = jnp.where(diag_m, jnp.broadcast_to(dvh, fh.shape), fh)
     fl = jnp.where(diag_m, jnp.broadcast_to(dvl, fh.shape), fl)
+    return fh, fl
+
+
+def dd_lu_scan_pallas(ah, al, *, nb, tol):
+    """The rank-1 dd LU scan as ONE Pallas kernel (VMEM-resident tile,
+    fused EFT chains).  The XLA version of the same loop is
+    latency-bound at ~0.6 ms/tile (nb=128) — each of the nb iterations
+    pays per-op dispatch; in Mosaic the whole scan fuses."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(ah_ref, al_ref, fh_ref, fl_ref):
+        fh, fl = _dd_scan_math(ah_ref[:, :], al_ref[:, :], nb=nb,
+                               tol=tol)
+        fh_ref[:, :] = fh
+        fl_ref[:, :] = fl
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((nb, nb), f32),
+                   jax.ShapeDtypeStruct((nb, nb), f32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=jax.default_backend() != "tpu",
+    )(ah, al)
+
+
+def _dd_lu_base(ah, al, *, nb, tol):
+    """Base case: rank-1 dd LU (Pallas on TPU, XLA elsewhere) +
+    block-recursive triangle inverses (the dd counterpart of
+    kernels_pallas._lu_inverses)."""
+    rows_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    diag_m = rows_f == cols_f
+    lower_m = rows_f > cols_f
+    upper_m = rows_f < cols_f
+    z = jnp.zeros((), f32)
+    tol = float(tol)  # python float: jnp.float32() yields a jax Array,
+    # which a pallas kernel closure would capture as a tracer constant
+
+    if jax.default_backend() == "tpu" and ah.ndim == 2:
+        fh, fl = dd_lu_scan_pallas(ah, al, nb=nb, tol=tol)
+    else:
+        fh, fl = _dd_scan_math(ah, al, nb=nb, tol=tol)
+    dvh = jnp.sum(jnp.where(diag_m, fh, z), axis=0, keepdims=True)
+    dvl = jnp.sum(jnp.where(diag_m, fl, z), axis=0, keepdims=True)
+    small = jnp.abs(dvh) < tol
+    dvh = jnp.where(small, tol, dvh)
+    dvl = jnp.where(small, z, dvl)
 
     # Newton-doubling inverses in dd
     eh, el = dd_eye(nb)
@@ -371,11 +426,14 @@ def _dd_lu_base(ah, al, *, nb, tol):
     # kernels, is unstable in dd: with ||strict part|| > 1 its
     # intermediate iterates grow combinatorially and the cancellation
     # destroys the low word.)
-    xh, xl = dd_tri_inv_lower_unit(lmh, lml)
-    # unit-upper inverse via the transpose identity
-    yth, ytl = dd_tri_inv_lower_unit(
-        jnp.swapaxes(umh, -1, -2), jnp.swapaxes(uml, -1, -2))
-    yh, yl = jnp.swapaxes(yth, -1, -2), jnp.swapaxes(ytl, -1, -2)
+    # both triangles in ONE batched recursion (the upper via its
+    # transpose identity) — halves the sequential inversion latency
+    sh_ = jnp.stack([lmh, jnp.swapaxes(umh, -1, -2)])
+    sl_ = jnp.stack([lml, jnp.swapaxes(uml, -1, -2)])
+    inv_h, inv_l = jax.vmap(dd_tri_inv_lower_unit)(sh_, sl_)
+    xh, xl = inv_h[0], inv_l[0]
+    yh = jnp.swapaxes(inv_h[1], -1, -2)
+    yl = jnp.swapaxes(inv_l[1], -1, -2)
     # uinv = y * D^-1 (scale columns)
     uih, uil = dd_mul(yh, yl, jnp.broadcast_to(invdh, yh.shape),
                       jnp.broadcast_to(invdl, yh.shape))

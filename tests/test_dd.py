@@ -128,3 +128,21 @@ def test_dd_matches_f64_engine():
     nt = blocked.num_tiles
     np.testing.assert_allclose(tdd[:nt], t64[:nt], rtol=1e-11,
                                atol=1e-11)
+
+
+def test_dd_scan_pallas_matches_xla():
+    """Interpret-mode Pallas dd LU scan pinned against the XLA path
+    (on TPU the compiled kernel replaces the latency-bound XLA loop)."""
+    from pangulu_tpu.ops.dd import _dd_scan_math, dd_lu_scan_pallas
+
+    rng = np.random.default_rng(7)
+    nb = 16
+    a = rng.standard_normal((nb, nb)) + np.eye(nb) * 5
+    ah, al = D.dd(a)
+    fh1, fl1 = dd_lu_scan_pallas(ah, al, nb=nb, tol=1e-30)
+    fh2, fl2 = _dd_scan_math(ah, al, nb=nb, tol=1e-30)
+    np.testing.assert_allclose(np.asarray(fh1), np.asarray(fh2),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        D.dd_to_f64(fh1, fl1), D.dd_to_f64(fh2, fl2),
+        rtol=1e-13, atol=1e-13)
