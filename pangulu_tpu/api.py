@@ -488,6 +488,73 @@ def update_values(handle: Handle, a_new) -> None:
         handle._dist = None  # rebuilt (with reused jit cache) on gstrf
 
 
+def factor_diagnostics(handle: Handle) -> dict:
+    """Post-gstrf diagnostics from the factors (beyond the reference's
+    API; standard direct-solver surface):
+
+    * ``logabsdet`` / ``sign``: log|det A| and its sign, from U's
+      diagonal and the reordering permutation parities (det A =
+      sign(P) sign(Q) det(Dr)^-1 det(Dc)^-1 prod(diag U) for the
+      scaled, permuted factorization).
+    * ``cond1_est``: Hager/Higham 1-norm condition estimate —
+      ||A||_1 * est(||A^-1||_1), the A^-1 applications being gstrs
+      solves (the transpose solve powers the adjoint applications).
+    """
+    if handle.factor_tiles is None:
+        raise RuntimeError("factor_diagnostics requires gstrf first")
+    if handle.complex_embed is not None or np.dtype(
+            handle.blocked.dtype).kind == "c":
+        raise NotImplementedError(
+            "factor_diagnostics currently supports real dtypes")
+    ro = handle.reordering
+    tiles = np.asarray(handle.factor_tiles)
+    bl, nb = handle.schedule.block_length, handle.blocked.nb
+    n = handle.blocked.n
+    diag = np.empty(bl * nb, dtype=np.float64)
+    for lev in handle.schedule.levels:
+        d = tiles[lev.diag]
+        diag[lev.k * nb:(lev.k + 1) * nb] = np.diagonal(d).real
+    diag = diag[:n]
+    # undo the MC64 scalings' determinant contribution
+    logabsdet = (float(np.sum(np.log(np.abs(diag))))
+                 - float(np.sum(np.log(ro.row_scale)))
+                 - float(np.sum(np.log(ro.col_scale))))
+
+    def _parity(p):
+        seen = np.zeros(len(p), dtype=bool)
+        sign = 1
+        for i in range(len(p)):
+            if seen[i]:
+                continue
+            j = i
+            clen = 0
+            while not seen[j]:
+                seen[j] = True
+                j = p[j]
+                clen += 1
+            if clen % 2 == 0:
+                sign = -sign
+        return sign
+    sign = (float(np.prod(np.sign(diag)))
+            * _parity(np.asarray(ro.perm)) * _parity(np.asarray(ro.colperm)))
+
+    import scipy.sparse.linalg as spla
+
+    op = spla.LinearOperator(
+        (n, n),
+        matvec=lambda v: gstrs(handle, v.astype(np.float64)),
+        rmatvec=lambda v: gstrs(handle, v.astype(np.float64),
+                                trans=True),
+        dtype=np.float64)
+    try:
+        inv_norm = float(spla.onenormest(op))
+        a_norm = float(spla.norm(handle.a_origin.tocsc(), 1))
+        cond1 = a_norm * inv_norm
+    except NotImplementedError:
+        cond1 = float("nan")  # trans solve unavailable on this path
+    return {"logabsdet": logabsdet, "sign": sign, "cond1_est": cond1}
+
+
 def gssv(handle: Handle, b: np.ndarray) -> np.ndarray:
     """Factor + solve (reference: pangulu_gssv, pangulu.c:327)."""
     gstrf(handle)

@@ -71,3 +71,22 @@ def test_transpose_solve_unsupported_paths_raise():
     with pytest.raises(NotImplementedError):
         gstrs(h, np.ones(a.n), trans=True)
     finalize(h)
+
+
+def test_factor_diagnostics():
+    """logdet/sign vs numpy slogdet; cond estimate within the usual
+    Hager-estimator band of the true 1-norm condition number."""
+    from pangulu_tpu.api import factor_diagnostics
+
+    a = random_unsymmetric(120, 0.08, seed=5)
+    h = init(a, InitOptions(nb=16, dtype="r64"))
+    gstrf(h)
+    d = factor_diagnostics(h)
+    dense = a.to_scipy().toarray()
+    sign, logdet = np.linalg.slogdet(dense)
+    assert abs(d["logabsdet"] - logdet) < 1e-6 * max(abs(logdet), 1.0)
+    assert d["sign"] == pytest.approx(sign)
+    true_cond = (np.linalg.norm(dense, 1)
+                 * np.linalg.norm(np.linalg.inv(dense), 1))
+    assert 0.1 * true_cond <= d["cond1_est"] <= 3.0 * true_cond
+    finalize(h)
