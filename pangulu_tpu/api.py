@@ -189,8 +189,9 @@ def init(a, opts: InitOptions | None = None) -> Handle:
     if est > _HBM_WARN_BYTES and opts.mesh_shape is None:
         log.warning(
             "factor tile store is ~%.1f GiB — near or beyond one chip's "
-            "HBM; consider mesh_shape for multi-chip, a better ordering, "
-            "or a larger nb", est / 2 ** 30)
+            "HBM; consider tile_storage='compressed' (O(fill) memory), "
+            "mesh_shape for multi-chip, a better ordering, or a larger "
+            "nb", est / 2 ** 30)
     log.info(config_banner(opts, a.n, a.nnz, opts.mesh_shape))
     log.info("symbolic nnz = %d (%s mode), block_length = %d, tiles = %d",
              symb.symbolic_nnz, symb_mode, symb.block_length,

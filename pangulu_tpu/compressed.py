@@ -297,6 +297,61 @@ class CompressedLU:
         self._solve_args = None
         self.inv_tiles = None
 
+    @classmethod
+    def from_store(cls, blocked, schedule, store,
+                   backend=None, perf=None, precision="highest"):
+        """Rehydrate a solve-ready executor from a saved compressed
+        store (checkpoint load): inverses are recomputed from the
+        FACTORED diagonal tiles on first solve."""
+        self = cls.__new__(cls)
+        self.blocked = blocked
+        self.schedule = schedule or build_schedule(blocked)
+        self.backend = backend or get_backend(
+            "auto", nb=blocked.nb, dtype=blocked.dtype)
+        self.perf = perf or PerfCounters()
+        self.precision = precision
+        self.store = store
+        self._fused_args = None
+        self._solve_args = None
+        self.inv_tiles = None
+        return self
+
+    def _ensure_inverses(self):
+        """Triangle inverses of every factored diagonal, recomputed
+        from the compressed store (checkpoint-loaded executors; the
+        factorization itself persists them)."""
+        if self.inv_tiles is not None:
+            return self.inv_tiles
+        from pangulu_tpu.ops.kernels_jax import (DEFAULT_TOL,
+                                                 unit_lower_inv_newton,
+                                                 upper_inv_newton)
+
+        st = self.store
+        bl, nb = self.schedule.block_length, self.store.nb
+        nn = nb * nb
+        vals = np.asarray(st.values)
+        idx = np.asarray(st.idx)
+        diags = np.zeros((bl, nn), dtype=self.blocked.dtype)
+        for lev in self.schedule.levels:
+            o = int(st.host_off[lev.diag])
+            c = int(st.host_cap[lev.diag])
+            sl = idx[o:o + c]
+            keep = sl < nn
+            diags[lev.k, sl[keep].astype(np.int64)] = vals[o:o + c][keep]
+        diags = jnp.asarray(diags.reshape(bl, nb, nb))
+        tol = (self.backend.tol if self.backend.tol is not None
+               else float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)]))
+
+        @jax.jit
+        def _compute(d):
+            linv = jax.vmap(unit_lower_inv_newton)(d)
+            uinv = jax.vmap(lambda f: upper_inv_newton(f, tol))(d)
+            return jnp.stack([linv, uinv], axis=1)
+
+        with jax.default_matmul_precision(self.precision):
+            self.inv_tiles = _compute(diags)
+        return self.inv_tiles
+
     def factorize(self):
         st = self.store
         ctx = jax.default_matmul_precision(self.precision)
@@ -335,7 +390,8 @@ class CompressedLU:
         with self.perf.phase("sptrsv"), ctx:
             x = _compressed_solve(nb, st.capmax, st.values, st.idx,
                                   st.off, st.cap, jnp.asarray(xb),
-                                  self.inv_tiles, *self._solve_args)
+                                  self._ensure_inverses(),
+                                  *self._solve_args)
             x = device_sync(x)
         out = np.asarray(x)[:bl].reshape(bl * nb, nrhs)[: self.blocked.n]
         return out[:, 0] if squeeze else out

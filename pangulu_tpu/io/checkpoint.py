@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_factor(handle, path) -> None:
@@ -29,9 +29,25 @@ def save_factor(handle, path) -> None:
     rr = ro.reordered
     ao = sp.csc_matrix(handle.a_origin)
     tid, ri, cj, vals = b.scatter_plan
+    from pangulu_tpu.compressed import CompressedTiles
+
+    ft = handle.factor_tiles
+    if isinstance(ft, CompressedTiles):
+        # O(fill) checkpoint: values + u16 slot indices, not dense tiles
+        factor_fields = dict(
+            factor_storage="compressed",
+            comp_values=np.asarray(ft.values),
+            comp_idx=np.asarray(ft.idx),
+            comp_off=ft.host_off, comp_cap=ft.host_cap,
+            comp_capmax=ft.capmax, comp_nnz=ft.nnz_pattern,
+        )
+    else:
+        factor_fields = dict(factor_storage="dense",
+                             factor_tiles=np.asarray(ft))
     np.savez_compressed(
         path,
         format_version=_FORMAT_VERSION,
+        **factor_fields,
         nb=b.nb, n=b.n, block_length=b.block_length, num_tiles=b.num_tiles,
         dtype=str(np.dtype(b.dtype)),
         opts_dtype=handle.opts.dtype,
@@ -39,7 +55,6 @@ def save_factor(handle, path) -> None:
         opts_refine=handle.opts.refine,
         complex_embed=(str(np.dtype(handle.complex_embed))
                        if handle.complex_embed is not None else ""),
-        factor_tiles=np.asarray(handle.factor_tiles),
         bcolptr=b.bcolptr, browidx=b.browidx,
         brownnzptr=b.brownnzptr, bcolidx=b.bcolidx,
         tile_of_csr=b.tile_of_csr,
@@ -102,11 +117,38 @@ def load_factor(path):
                        backend=str(z["opts_backend"]),
                        refine=int(z["opts_refine"]))
     emb = str(z["complex_embed"]) if "complex_embed" in z else ""
+    schedule = build_schedule(blocked)
+    storage = (str(z["factor_storage"]) if "factor_storage" in z
+               else "dense")
+    if storage == "compressed":
+        import jax.numpy as jnp
+
+        from pangulu_tpu.compressed import CompressedLU, CompressedTiles
+
+        st = CompressedTiles.__new__(CompressedTiles)
+        st.blocked = blocked
+        st.nb, st.num_tiles = nb, num_tiles
+        st.nnz_pattern = int(z["comp_nnz"])
+        st.capmax = int(z["comp_capmax"])
+        st.host_off = z["comp_off"]
+        st.host_cap = z["comp_cap"]
+        st.scratch_slot = int(st.host_off[-1])
+        st.off = jnp.asarray(np.append(
+            st.host_off[:-1], st.scratch_slot).astype(np.int32))
+        st.cap = jnp.asarray(np.append(st.host_cap, 0).astype(np.int32))
+        st.idx = jnp.asarray(z["comp_idx"])
+        st.values = jnp.asarray(z["comp_values"])
+        factor_tiles = st
+    else:
+        factor_tiles = z["factor_tiles"]
     handle = Handle(
         opts=opts, a_origin=a_origin, reordering=reordering,
         symbolic_result=None, blocked=blocked,
-        schedule=build_schedule(blocked), perf=PerfCounters(),
-        factor_tiles=z["factor_tiles"],
+        schedule=schedule, perf=PerfCounters(),
+        factor_tiles=factor_tiles,
         complex_embed=np.dtype(emb) if emb else None,
     )
+    if storage == "compressed":
+        handle._factorizer = CompressedLU.from_store(
+            blocked, schedule, factor_tiles, perf=handle.perf)
     return handle

@@ -84,3 +84,30 @@ def test_compressed_rejects_mesh():
     h = init(a, h_opts)
     with pytest.raises(ValueError):
         gstrf(h)
+
+
+def test_compressed_checkpoint_roundtrip(tmp_path):
+    """Compressed factors checkpoint as values+u16 slots (O(fill), not
+    dense) and reload solve-ready."""
+    from pangulu_tpu.io.checkpoint import load_factor, save_factor
+
+    a = circuit(700, seed=8)
+    b = generated_rhs(a)
+    h = init(a, InitOptions(nb=32, dtype="r64",
+                            tile_storage="compressed"))
+    x_ref = gssv(h, b)
+    p_comp = str(tmp_path / "comp.npz")
+    save_factor(h, p_comp)
+    finalize(h)
+    h3 = load_factor(p_comp)
+    # the loaded factor is the O(fill) store, NOT densified tiles
+    from pangulu_tpu.compressed import CompressedTiles
+
+    assert isinstance(h3.factor_tiles, CompressedTiles)
+    assert (h3.factor_tiles.compressed_bytes
+            < h3.factor_tiles.dense_bytes)
+    x = gstrs(h3, b)
+    from pangulu_tpu.utils.perf import residual_norm as _rn
+
+    assert _rn(a.to_scipy(), x, b) < 1e-6
+    np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-8)
