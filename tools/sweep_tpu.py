@@ -109,3 +109,15 @@ for name, a, opts in extra:
           f"residual={res:.2e} {'OK' if res < 1e-4 else 'FAIL'}",
           flush=True)
     finalize(h)
+
+# transpose solve on the chip (A^T x = b from the same factors)
+from pangulu_tpu.api import gstrs as _gstrs  # noqa: E402
+a = random_unsymmetric(1500, 0.004, seed=13)
+h = init(a, InitOptions(nb=128, dtype="r32"))
+gstrf(h)
+bt = np.asarray(a.to_scipy().T @ np.ones(a.n)).astype(np.float32)
+xt = _gstrs(h, bt, trans=True)
+res = residual_norm(a.to_scipy().T.tocsc(), xt, bt)
+print(f"{'transpose solve':22s} n={a.n:7d} dispatch=trans      "
+      f"residual={res:.2e} {'OK' if res < 1e-4 else 'FAIL'}", flush=True)
+finalize(h)
