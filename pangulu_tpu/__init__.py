@@ -26,6 +26,7 @@ collectives.
 from pangulu_tpu.api import (
     InitOptions,
     analyze,
+    factor_diagnostics,
     Solver,
     finalize,
     gssv,
@@ -40,6 +41,7 @@ from pangulu_tpu.version import __version__
 __all__ = [
     "InitOptions",
     "analyze",
+    "factor_diagnostics",
     "Solver",
     "init",
     "gstrf",

@@ -599,10 +599,10 @@ class Solver:
         self._factored = True
         return self
 
-    def solve(self, b: np.ndarray) -> np.ndarray:
+    def solve(self, b: np.ndarray, trans: bool = False) -> np.ndarray:
         if not self._factored:
             self.factor()
-        return gstrs(self.handle, b)
+        return gstrs(self.handle, b, trans=trans)
 
     def update_values(self, a_new) -> "Solver":
         """Same-pattern refactorization fast path (see
