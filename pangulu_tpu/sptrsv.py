@@ -301,8 +301,6 @@ class TriangularSolver:
 
     def _solve_dd(self, tiles, b: np.ndarray) -> np.ndarray:
         """r64-on-TPU solve: dd arithmetic end to end."""
-        from pangulu_tpu.numeric import DdTiles  # noqa: F401
-
         if self.inv_tiles is None or not isinstance(self.inv_tiles,
                                                     tuple):
             raise RuntimeError(
