@@ -116,6 +116,10 @@ def init(a, opts: InitOptions | None = None) -> Handle:
     dtype = opts.resolve_dtype()
     if opts.nb <= 0:
         opts.nb = 128
+    if opts.tile_storage == "compressed" and opts.nb * opts.nb > 65535:
+        raise ValueError(
+            f"tile_storage='compressed' uses uint16 in-tile positions "
+            f"(sentinel nb*nb); nb must be <= 255, got {opts.nb}")
     if not isinstance(a, CscMatrix):
         a = CscMatrix.from_scipy(sp.csc_matrix(a))
     a = a.astype(dtype)
@@ -536,8 +540,11 @@ def factor_diagnostics(handle: Handle) -> dict:
             if clen % 2 == 0:
                 sign = -sign
         return sign
-    sign = (float(np.prod(np.sign(diag)))
-            * _parity(np.asarray(ro.perm)) * _parity(np.asarray(ro.colperm)))
+    # Only the MC64 COLUMN permutation contributes a sign: the
+    # fill-reducing permutation is applied symmetrically
+    # (A3 = A2[p][:, p], det(P) det(P^T) = +1) and the scalings are
+    # positive diagonals.
+    sign = float(np.prod(np.sign(diag))) * _parity(np.asarray(ro.colperm))
 
     import scipy.sparse.linalg as spla
 

@@ -86,6 +86,11 @@ class CompressedTiles:
         nb, nt = blocked.nb, blocked.num_tiles
         bl = blocked.block_length
         nn = nb * nb
+        if nn > np.iinfo(np.uint16).max:
+            raise ValueError(
+                f"tile_storage='compressed' stores in-tile positions as "
+                f"uint16 (sentinel nb*nb={nn}); nb must be <= 255 "
+                f"(got nb={nb}) — use dense tiles or a smaller nb")
         li, lj = _scalar_fill_entries(a3)
         n = a3.n
         diag = np.arange(bl * nb, dtype=np.int64)  # incl padded tail
@@ -165,17 +170,21 @@ class CompressedTiles:
                    * np.dtype(self.blocked.dtype).itemsize)
 
     def __array__(self, dtype=None, copy=None):
-        """Densify (residual checks / checkpoints)."""
+        """Densify (residual checks / checkpoints) — one vectorized
+        scatter over all slots (a per-tile Python loop is minutes at
+        10^5 tiles, exactly the problem class compressed storage
+        targets)."""
         nb, nn = self.nb, self.nb * self.nb
         vals = np.asarray(self.values)
         idx = np.asarray(self.idx)
         out = np.zeros((self.num_tiles + 1, nn),
                        dtype=dtype or self.blocked.dtype)
-        for t in range(self.num_tiles):
-            o, c = int(self.host_off[t]), int(self.host_cap[t])
-            sl = idx[o:o + c]
-            keep = sl < nn
-            out[t, sl[keep].astype(np.int64)] = vals[o:o + c][keep]
+        # tile id owning each real (non-scratch-pad) slot
+        tid = np.repeat(np.arange(self.num_tiles, dtype=np.int64),
+                        self.host_cap)
+        s = np.arange(tid.size)
+        keep = idx[s] < nn
+        out[tid[keep], idx[s[keep]].astype(np.int64)] = vals[s[keep]]
         return out.reshape(self.num_tiles + 1, nb, nb)
 
 

@@ -37,7 +37,10 @@ from pangulu_tpu.blocks import BlockedMatrix
 from pangulu_tpu.ops.interface import KernelBackend, get_backend
 from pangulu_tpu.schedule import Schedule, bucket, build_schedule, pad_ids
 from pangulu_tpu.utils import device_sync
+from pangulu_tpu.utils.log import get_logger
 from pangulu_tpu.utils.perf import PerfCounters
+
+log = get_logger()
 
 
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
@@ -256,19 +259,26 @@ class LUFactorizer:
             raise ValueError("panel_solve must be 'inv' or 'trsm'")
         self.panel_solve = panel_solve
         if dispatch == "auto":
+            reason = ""
             if panel_solve != "inv":
                 dispatch = "levels"
+                reason = "trsm panel solves need per-level dispatch"
             elif self._dd_eligible():
                 # r64 on TPU: double-float engine on the f32 MXU (the
                 # emulated-f64 path is ~1000x slower)
                 dispatch = "dd"
+                reason = "f64 on TPU -> double-float f32 engine"
             elif self._mega_eligible():
                 dispatch = "mega"
+                reason = "single-launch Pallas fast path"
             elif (self.schedule.fused_overhead()
                   <= self.FUSED_OVERHEAD_LIMIT):
                 dispatch = "fused"
+                reason = self._fallback_reason("fused")
             else:
                 dispatch = "segmented"
+                reason = self._fallback_reason("segmented (skewed levels)")
+            log.info("engine: %s (%s)", dispatch, reason)
             # NOTE: dispatch="superfused" (etree super-level batching)
             # exists but is never auto-selected: measured slower than
             # both the mega kernel (on-chip) and the fused engine (CPU)
@@ -310,12 +320,41 @@ class LUFactorizer:
         else:
             self._prepared = self._prepare_levels()
 
+    def _fallback_reason(self, engine: str) -> str:
+        """Explain WHY the Pallas fast path was not taken — a silent
+        4-5x slowdown (e.g. nb!=128 r32 on chip) is a perf mystery;
+        one log line per dispatch prevents it."""
+        if jax.default_backend() != "tpu":
+            return f"{engine}; not on a TPU backend"
+        if self.backend.name != "pallas":
+            return f"{engine}; backend={self.backend.name} (not pallas)"
+        why = []
+        if jnp.dtype(self.blocked.dtype) != jnp.float32:
+            why.append(f"dtype={jnp.dtype(self.blocked.dtype).name}!=f32")
+        if self.blocked.nb != 128:
+            why.append(f"nb={self.blocked.nb}!=128")
+        return (f"{engine}; mega ineligible: " + ", ".join(why)
+                if why else engine)
+
     def _dd_eligible(self) -> bool:
         """r64/cr64-embedded on a real TPU runs the double-float engine
         (emulated f64 on TPU is ~1000x slower than f32; the dd engine
-        keeps all FLOPs on the f32 MXU/VPU at ~48-bit precision)."""
-        return (jnp.dtype(self.blocked.dtype) == jnp.float64
-                and jax.default_backend() == "tpu")
+        keeps all FLOPs on the f32 MXU/VPU at ~48-bit precision).
+
+        nb gate: dd_matmul's exact-slicing guarantee needs
+        2*WBITS + log2(K) <= 24 for the contraction dim K = nb, i.e.
+        nb <= 256 — beyond that, slice-product accumulation rounds and
+        the promised precision silently degrades."""
+        if (jnp.dtype(self.blocked.dtype) != jnp.float64
+                or jax.default_backend() != "tpu"):
+            return False
+        if self.blocked.nb > 256:
+            log.info("engine: dd ineligible at nb=%d (>256 breaks the "
+                     "exact-slice accumulation bound) — falling back to "
+                     "the emulated-f64 XLA engine, which is very slow "
+                     "on TPU; prefer nb<=256 for r64", self.blocked.nb)
+            return False
+        return True
 
     def _mega_eligible(self) -> bool:
         """The single-launch Pallas mega-kernel handles f32 tiles with

@@ -104,16 +104,15 @@ def add_diagonal_elements(a: CscMatrix, fill_value=1e-8) -> CscMatrix:
     factorization always has a pivot slot
     (pangulu_utils.c:23-105, pangulu_reordering.c:715).
     """
-    diag = a.to_scipy().diagonal()
-    missing = np.flatnonzero(diag == 0)
-    # An explicit stored zero also counts as missing numerically; the
-    # reference only adds *structurally* missing diagonals.  Match that:
+    # An explicit stored zero also counts as a pivot slot: the
+    # reference only adds *structurally* missing diagonals.  One O(nnz)
+    # vectorized pass (a per-column membership scan is O(n*col) worst
+    # case on circuit-class matrices at n~1e6).
     s = a.to_scipy()
+    cols = np.repeat(np.arange(a.n), np.diff(a.colptr))
     has_struct = np.zeros(a.n, dtype=bool)
-    for j in missing:
-        lo, hi = a.colptr[j], a.colptr[j + 1]
-        has_struct[j] = j in a.rowidx[lo:hi]
-    need = missing[~has_struct[missing]]
+    has_struct[cols[a.rowidx == cols]] = True
+    need = np.flatnonzero(~has_struct)
     if len(need) == 0:
         return a
     d = sp.csc_matrix(

@@ -77,6 +77,16 @@ def test_compressed_memory_savings_circuit():
     assert residual_norm(a.to_scipy(), x, b) < 1e-6
 
 
+def test_compressed_rejects_nb_over_255():
+    """u16 in-tile positions cap nb at 255 (sentinel nb*nb must fit);
+    nb=256 must fail with a clear error upfront, not an OverflowError
+    deep in numpy."""
+    a = poisson2d(8)
+    with pytest.raises(ValueError, match="uint16|255"):
+        init(a, InitOptions(nb=256, dtype="r64",
+                            tile_storage="compressed"))
+
+
 def test_compressed_rejects_mesh():
     a = poisson2d(8)
     h_opts = InitOptions(nb=8, dtype="r64", tile_storage="compressed",

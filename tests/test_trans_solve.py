@@ -90,3 +90,22 @@ def test_factor_diagnostics():
                  * np.linalg.norm(np.linalg.inv(dense), 1))
     assert 0.1 * true_cond <= d["cond1_est"] <= 3.0 * true_cond
     finalize(h)
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("ordering", ["rcm", "mindeg"])
+def test_factor_diagnostics_sign_many_seeds(seed, ordering):
+    """Determinant SIGN across many random matrices/orderings: the
+    fill-reducing permutation is symmetric (det contribution +1), so
+    seeds whose perm is odd must not flip the sign (regression: the
+    sign disagreed with slogdet on every odd-parity perm)."""
+    from pangulu_tpu.api import factor_diagnostics
+
+    a = random_unsymmetric(60, 0.12, seed=100 + seed)
+    h = init(a, InitOptions(nb=8, dtype="r64", ordering=ordering))
+    gstrf(h)
+    d = factor_diagnostics(h)
+    sign, logdet = np.linalg.slogdet(a.to_scipy().toarray())
+    assert d["sign"] == pytest.approx(sign), (seed, ordering)
+    assert abs(d["logabsdet"] - logdet) < 1e-6 * max(abs(logdet), 1.0)
+    finalize(h)
