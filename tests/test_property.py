@@ -42,3 +42,67 @@ def test_random_solve(dtype, nb, ordering, gen):
     res = residual_norm(s, x, b)
     assert res < TOL[dtype], f"residual {res:.3e} for {dtype}/{ordering}"
     finalize(h)
+
+
+def _campaign_config(seed: int):
+    """Deterministic pseudo-random config — the in-suite version of the
+    24-config on-chip campaign (BASELINE.md round-1): random family,
+    size, density, dtype, nb and ordering, everything else on auto so
+    the auto-dispatch/ordering interplay is what gets exercised."""
+    from pangulu_tpu.models import (arrowhead, circuit, poisson2d,
+                                    random_unsymmetric, smallworld)
+
+    rng = np.random.default_rng(1000 + seed)
+    family = rng.choice(["poisson2d", "smallworld", "random",
+                         "arrowhead", "circuit"])
+    dtype = str(rng.choice(["r32", "r64", "cr32", "cr64"]))
+    nb = int(rng.choice([8, 16, 24, 32]))
+    ordering = str(rng.choice(["auto", "rcm", "mindeg", "nd"]))
+    vdt = np.complex128 if dtype.startswith("cr") else np.float64
+    if family == "poisson2d":
+        a = poisson2d(int(rng.integers(8, 15)))
+        if dtype.startswith("cr"):  # complexify the values
+            a = a.astype(np.complex128)
+            a.values = a.values * (1 + 0.1j)
+    elif family == "smallworld":
+        a = smallworld(int(rng.integers(8, 13)),
+                       float(rng.uniform(0.05, 0.15)), seed=seed)
+        if dtype.startswith("cr"):
+            a = a.astype(np.complex128)
+            a.values = a.values * (1 + 0.1j)
+    elif family == "random":
+        a = random_unsymmetric(int(rng.integers(60, 180)),
+                               float(rng.uniform(0.03, 0.1)),
+                               seed=seed, dtype=vdt)
+    elif family == "arrowhead":
+        a = arrowhead(int(rng.integers(60, 160)))
+        if dtype.startswith("cr"):
+            a = a.astype(np.complex128)
+            a.values = a.values * (1 + 0.1j)
+    else:
+        a = circuit(int(rng.integers(150, 400)), seed=seed)
+        if dtype.startswith("cr"):
+            a = a.astype(np.complex128)
+            a.values = a.values * (1 + 0.1j)
+    return a, dtype, nb, ordering, family
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_seeded_campaign(seed):
+    """Seeded randomized campaign (>=20 configs): regressions in the
+    auto-dispatch / ordering / dtype interplay fail HERE in CI, not
+    only in the on-chip sweep."""
+    a, dtype, nb, ordering, family = _campaign_config(seed)
+    s = a.to_scipy()
+    rng = np.random.default_rng(seed)
+    x_true = rng.standard_normal(a.n)
+    if dtype.startswith("cr"):
+        x_true = x_true + 1j * rng.standard_normal(a.n)
+    b = np.asarray(s @ x_true)
+    h = init(a, InitOptions(nb=nb, dtype=dtype, ordering=ordering))
+    x = gssv(h, b)
+    res = residual_norm(s, x, b)
+    assert res < TOL[dtype], (
+        f"residual {res:.3e} for seed={seed} "
+        f"({family}/{dtype}/nb={nb}/{ordering})")
+    finalize(h)
