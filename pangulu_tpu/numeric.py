@@ -299,10 +299,13 @@ class LUFactorizer:
                 jnp.asarray(t) for t in
                 self.schedule.fused_tables(self.blocked.num_tiles))
         elif dispatch == "mega":
+            from pangulu_tpu.ops.kernels_pallas import mega_uch
+
             self._mega = {
                 k: (v if isinstance(v, int) else jnp.asarray(v))
                 for k, v in self.schedule.mega_tables(
-                    self.blocked.num_tiles).items()}
+                    self.blocked.num_tiles,
+                    uch=mega_uch(self.blocked.nb)).items()}
         elif dispatch == "superfused":
             self._super_segments = [
                 tuple(jnp.asarray(t) for t in seg)
@@ -331,8 +334,8 @@ class LUFactorizer:
         why = []
         if jnp.dtype(self.blocked.dtype) != jnp.float32:
             why.append(f"dtype={jnp.dtype(self.blocked.dtype).name}!=f32")
-        if self.blocked.nb != 128:
-            why.append(f"nb={self.blocked.nb}!=128")
+        if self.blocked.nb not in (128, 256):
+            why.append(f"nb={self.blocked.nb} not in (128, 256)")
         return (f"{engine}; mega ineligible: " + ", ".join(why)
                 if why else engine)
 
@@ -358,17 +361,16 @@ class LUFactorizer:
 
     def _mega_eligible(self) -> bool:
         """The single-launch Pallas mega-kernel handles f32 tiles with
-        nb=128 and panels within its VMEM budget; it is the fast path
-        on a real TPU (per-level pallas_call launch overhead is ~124us
-        — 83% of wall time on the bench problem)."""
+        nb=128 or nb=256 (the reference default, pangulu.c:52-56) and
+        panels of any width (VMEM-chunked); it is the fast path on a
+        real TPU (per-level pallas_call launch overhead is ~124us —
+        83% of wall time on the bench problem)."""
         if self.backend.name != "pallas":
             return False
         if jax.default_backend() != "tpu":
             return False  # interpret-mode mega runs only when forced
-        # panels of ANY width run in bounded VMEM (chunked); only the
-        # dtype/tile-shape gates remain
         return (jnp.dtype(self.blocked.dtype) == jnp.float32
-                and self.blocked.nb == 128)
+                and self.blocked.nb in (128, 256))
 
     def _prepare_levels(self):
         """Host-side: bucket-pad every level's index arrays once."""
@@ -448,7 +450,8 @@ class LUFactorizer:
                     t["nup_tab"], t["lid_tab"], t["uid_tab"],
                     t["udst_tab"], t["udl_tab"], t["udu_tab"],
                     nb=self.blocked.nb, tol=mtol,
-                    bl=self.schedule.block_length, pch=t["pch"])
+                    bl=self.schedule.block_length, pch=t["pch"],
+                    uch=t["uch"])
                 if sync:
                     tiles = device_sync(tiles)
             self.perf.add_flops(self.schedule.flop_estimate())

@@ -440,6 +440,33 @@ def _dd_lu_base(ah, al, *, nb, tol):
     return (fh, fl), (xh, xl), (uih, uil)
 
 
+def dd_blocked_residual(ath, atl, row_ids, row_cols, xh, xl, bh, bl_):
+    """Exact dd residual ``r = b - A x`` over the blocked tile store.
+
+    ``x``/``b``: [bl+1, nb, nrhs] dd pairs (last segment = scratch);
+    ``row_ids``: [bl, W] tile ids of block row k (pad: the scratch
+    tile, which is exactly zero, so padded slots are exact no-ops);
+    ``row_cols``: [bl, W] the tiles' block columns (pad: scratch
+    segment).  The W per-row tile products are each an exact-sliced
+    :func:`dd_matmul`; their accumulation is a dd chain (two_sum per
+    step), so the residual carries ~48 significant bits — the
+    ingredient that lets f32 correction solves refine to f64-class
+    accuracy (device-side mixed-precision IR, the TPU-idiomatic
+    replacement of the reference's native R64 SpTRSV)."""
+    w_count = row_ids.shape[1]
+    nbl = row_ids.shape[0]
+    rh, rl = bh, bl_
+
+    def body(w, c):
+        rh, rl = c
+        ph, pl = dd_matmul(ath[row_ids[:, w]], atl[row_ids[:, w]],
+                           xh[row_cols[:, w]], xl[row_cols[:, w]])
+        nh, nl = dd_sub(rh[:nbl], rl[:nbl], ph, pl)
+        return rh.at[:nbl].set(nh), rl.at[:nbl].set(nl)
+
+    return lax.fori_loop(0, w_count, body, (rh, rl))
+
+
 def dd_tri_inv_lower_unit(lh, ll):
     """Inverse of a UNIT lower-triangular dd matrix by bottom-up block
     recursion: maintain per-level the inverses of the diagonal s x s

@@ -187,7 +187,13 @@ def getrf(a, tol=None):
 # so only real work issues DMAs (the reference's per-task dynamism,
 # recovered inside a single static kernel).
 
-_UCH = 64  # Schur-update chunk: dstbuf VMEM = _UCH * nb^2 * 4B (4 MB @128)
+_UCH = 64   # default Schur-update chunk at nb=128 (dstbuf = 4 MB)
+
+
+def mega_uch(nb: int) -> int:
+    """Schur-update chunk size by tile size: bounds dstbuf VMEM to
+    ~4 MB (64 tiles at nb=128, 16 at nb=256)."""
+    return _UCH if nb <= 128 else max(4 * 1024 * 1024 // (nb * nb * 4), 8)
 
 
 def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
@@ -196,7 +202,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                  fbuf, linv_b, uinv_b, lpan, upan, prodrow, dstbuf,
                  lid_s, uid_s, udst_s, udl_s, udu_s,
                  sem_diag, sem_inv, sem_l, sem_u, sem_lo, sem_uo, sem_di,
-                 sem_do, sem_tab, sem_utab, *, nb, tol, bl, pch):
+                 sem_do, sem_tab, sem_utab, *, nb, tol, bl, pch, uch):
     """One elimination level per fori iteration; panels processed in
     chunks of ``pch`` tiles so arbitrarily wide levels (irregular
     orderings) run in bounded VMEM.  Schur updates are sorted by
@@ -249,7 +255,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         # hoist the FIRST Schur chunk's dst loads: dst tiles are
         # disjoint from this level's diag/panel tiles, so they stream in
         # under the diag DMA + LU + panel work
-        lax.fori_loop(0, jnp.minimum(nup, i32(_UCH)),
+        lax.fori_loop(0, jnp.minimum(nup, i32(uch)),
                       lambda j, c: (pltpu.make_async_copy(
                           tiles_out.at[udst_row[j]],
                           dstbuf.at[j], sem_di.at[j]).start(), c)[1], 0)
@@ -359,7 +365,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
         lax.fori_loop(0, nuc, u_chunk, 0)
 
-        # ---- Schur updates, chunks of _UCH ----------------------------
+        # ---- Schur updates, chunks of ``uch`` -------------------------
         # After phase 1 the LAST panel chunks are VMEM-resident; updates
         # are sorted by (u-chunk, l-chunk, l), and dst tiles are
         # disjoint from this level's diag/panel tiles and unique within
@@ -367,8 +373,8 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         cur0 = (jnp.maximum(nuc - 1, 0), jnp.maximum(nlc - 1, 0), i32(-1))
 
         def chunk(c, cur):
-            base = c * _UCH
-            cnt = jnp.minimum(nup - base, _UCH)
+            base = c * uch
+            cnt = jnp.minimum(nup - base, uch)
 
             @pl.when(c > 0)  # chunk 0 rows/dsts prefetched at level start
             def _():
@@ -503,7 +509,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
 
             return cur
 
-        nchunks = lax.div(nup + i32(_UCH - 1), i32(_UCH))
+        nchunks = lax.div(nup + i32(uch - 1), i32(uch))
         lax.fori_loop(0, nchunks, chunk, cur0)
 
         # ---- level barrier ---------------------------------------------
@@ -514,7 +520,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         # last Schur chunk's dst writebacks deferred from the chunk loop
         @pl.when(nup > 0)
         def _():
-            last = nup - (nchunks - 1) * i32(_UCH)
+            last = nup - (nchunks - 1) * i32(uch)
             lax.fori_loop(0, last,
                           lambda j, c: (pltpu.make_async_copy(
                               dstbuf.at[j], tiles_out.at[udst_row[j]],
@@ -554,18 +560,20 @@ MEGA_MAX_PANEL = 32
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nb", "tol", "bl", "pch"),
+                   static_argnames=("nb", "tol", "bl", "pch", "uch"),
                    donate_argnums=(0,))
 def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
                    lid_tab, uid_tab, udst_tab, udl_tab, udu_tab,
-                   *, nb, tol, bl, pch):
+                   *, nb, tol, bl, pch, uch=_UCH):
     """Entire numeric factorization in ONE Pallas launch.
 
     tiles: [num_tiles+1, nb, nb] (donated; factored in place).
     Tables (host-precomputed from the level schedule, see
     Schedule.mega_tables): diag/nl/nu/nup_tab [bl] int32; lid/uid_tab
     [bl, NL/NU] int32; udst/udl/udu_tab [bl, nchunks, 128] int32 with
-    the first _UCH lanes of each row holding one update chunk.
+    the first ``uch`` lanes of each row holding one update chunk
+    (``uch`` also sizes the dstbuf VMEM: uch * nb^2 * 4B — 64 at
+    nb=128, smaller for nb=256).
     """
     dt = tiles.dtype
     row_w = udst_tab.shape[-1]
@@ -591,7 +599,7 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.VMEM((pch * nb, nb), dt),         # lpan (chunk)
             pltpu.VMEM((nb, pch * nb), dt),         # upan (column chunk)
             pltpu.VMEM((nb, pch * nb), dt),         # prodrow
-            pltpu.VMEM((_UCH, nb, nb), dt),         # dstbuf
+            pltpu.VMEM((uch, nb, nb), dt),          # dstbuf
             pltpu.SMEM((2, lid_w), jnp.int32),      # lid_s (double buf)
             pltpu.SMEM((2, uid_w), jnp.int32),      # uid_s (double buf)
             pltpu.SMEM((2, row_w), jnp.int32),      # udst_s (double buf)
@@ -603,14 +611,15 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.SemaphoreType.DMA((pch,)),        # sem_u
             pltpu.SemaphoreType.DMA((pch,)),        # sem_lo
             pltpu.SemaphoreType.DMA((pch,)),        # sem_uo
-            pltpu.SemaphoreType.DMA((_UCH,)),       # sem_di
-            pltpu.SemaphoreType.DMA((_UCH,)),       # sem_do
+            pltpu.SemaphoreType.DMA((uch,)),        # sem_di
+            pltpu.SemaphoreType.DMA((uch,)),        # sem_do
             pltpu.SemaphoreType.DMA((2, 5)),        # sem_tab (rows)
             pltpu.SemaphoreType.DMA((3,)),          # sem_utab
         ],
     )
     return pl.pallas_call(
-        functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl, pch=pch),
+        functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl,
+                          pch=pch, uch=uch),
         out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
                    jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
         grid_spec=grid_spec,

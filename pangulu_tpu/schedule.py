@@ -208,7 +208,7 @@ class Schedule:
         return dict(diag_tab=diag, nl_tab=nl, nu_tab=nu, nup_tab=nup,
                     lid_tab=lid, uid_tab=uid,
                     udst_tab=udst, udl_tab=udl, udu_tab=udu,
-                    npan_l=nl_pan, npan_u=nu_pan, pch=pch)
+                    npan_l=nl_pan, npan_u=nu_pan, pch=pch, uch=uch)
 
     def mega_solve_tables(self, scratch_tile: int):
         """Index tables for the single-launch Pallas SpTRSV

@@ -107,6 +107,76 @@ def _fused_solve_trans(tiles, invs, x, l_ids, l_rows, uc_ids, uc_rows):
     return x
 
 
+@functools.partial(jax.jit, donate_argnums=(2,))
+def _solve_inv_xla(tiles, invs, x, l_ids, l_rows, uc_ids, uc_rows):
+    """Matmul-only fused f32 solve against persisted triangle inverses
+    (the XLA correction engine for the dd IR solve when the Pallas
+    mega_solve is ineligible)."""
+    bl = l_ids.shape[0]
+    dt = x.dtype
+
+    def level(k, x, inv_slot, ids, rows):
+        xk = jnp.matmul(invs[k, inv_slot], x[k], preferred_element_type=dt)
+        x = x.at[k].set(xk)
+        upd = jnp.matmul(tiles[ids[k]], xk, preferred_element_type=dt)
+        return x.at[rows[k]].add(-upd)
+
+    def fwd(k, x):
+        return level(k, x, 0, l_ids, l_rows)
+
+    def bwd(i, x):
+        return level(bl - 1 - i, x, 1, uc_ids, uc_rows)
+
+    x = jax.lax.fori_loop(0, bl, fwd, x)
+    x = jax.lax.fori_loop(0, bl, bwd, x)
+    return x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "bl", "npan", "iters",
+                                    "use_mega"))
+def _dd_ir_solve(xbh, xbl, a_th, a_tl, th, invh,
+                 row_ids, row_cols,
+                 l_ids, l_rows, uc_ids, uc_rows,
+                 nl_tab, nuc_tab, lid_tab, lrow_tab, ucid_tab, ucrow_tab,
+                 *, nb, bl, npan, iters, use_mega):
+    """r64 solve at f32-solve speed: device-fused mixed-precision
+    iterative refinement.  One dispatch runs (1) an f32 triangular
+    solve against the dd factors' HI parts (Pallas mega_solve when
+    eligible), then ``iters`` rounds of (2) EXACT dd blocked residual
+    ``r = b - A x`` (ops.dd.dd_blocked_residual) and (3) an f32
+    correction solve, accumulating x in dd.  No host round trips — the
+    TPU-idiomatic replacement for the reference's native R64 SpTRSV
+    (pangulu_sptrsv.c; R64 default pangulu_common.h:11-33).
+
+    Converges to ~f64-class residuals in 2-3 rounds while
+    cond(A) << 1/eps_f32 (~1e7); beyond that the all-dd fused solve
+    (``_fused_solve_dd``) remains the robust fallback."""
+    from pangulu_tpu.ops import dd as D
+
+    def corr(r):
+        # f32 solve LU dx = r on the hi factors
+        if use_mega:
+            from pangulu_tpu.ops.kernels_pallas import mega_solve
+
+            xt = jnp.transpose(r, (2, 0, 1))       # [nrhs, bl+1, nb]
+            xt = mega_solve(xt, th, invh, nl_tab, nuc_tab, lid_tab,
+                            lrow_tab, ucid_tab, ucrow_tab,
+                            nb=nb, bl=bl, npan=npan)
+            return jnp.transpose(xt, (1, 2, 0))
+        return _solve_inv_xla(th, invh, r, l_ids, l_rows,
+                              uc_ids, uc_rows)
+
+    xh = corr(xbh)
+    xl = jnp.zeros_like(xh)
+    for _ in range(iters):
+        rh, rl = D.dd_blocked_residual(a_th, a_tl, row_ids, row_cols,
+                                       xh, xl, xbh, xbl)
+        dx = corr(rh)
+        xh, xl = D.dd_add(xh, xl, dx, jnp.zeros_like(dx))
+    return xh, xl
+
+
 @functools.partial(jax.jit, donate_argnums=(4, 5))
 def _fused_solve_dd(th, tl, invh, invl, xh, xl, l_ids, l_rows,
                     uc_ids, uc_rows):
@@ -299,8 +369,54 @@ class TriangularSolver:
             nrhs, bl * nb)[:, : self.blocked.n].T
         return out[:, 0] if squeeze else out
 
+    # dd solve method: "ir" = device-fused mixed-precision iterative
+    # refinement (f32 mega/inv corrections + exact dd residuals; ~the
+    # f32 solve speed), "dd" = all-dd fused solve (level-latency-bound
+    # but robust for cond(A) near/beyond 1/eps_f32).
+    dd_solve_method = "ir"
+    dd_ir_iters = 3
+
+    def _ensure_dd_ir_state(self):
+        """Lazy device state for the dd IR solve: the ORIGINAL A3 tiles
+        as a dd pair (the host tile store still holds A3 — the
+        factorization ran on device copies) plus the block-row gather
+        tables for the residual."""
+        if getattr(self, "_dd_ir_state", None) is not None:
+            return self._dd_ir_state
+        blocked, bl = self.blocked, self.schedule.block_length
+        host = blocked.tiles
+        hi = host.astype(np.float32)
+        lo = (host - hi.astype(np.float64)).astype(np.float32)
+        a_th, a_tl = jnp.asarray(hi), jnp.asarray(lo)
+        w = max(int(np.diff(blocked.brownnzptr).max()), 1)
+        row_ids = np.full((bl, w), blocked.num_tiles, np.int32)
+        row_cols = np.full((bl, w), bl, np.int32)  # pad: scratch seg
+        for k in range(bl):
+            s, e = blocked.brownnzptr[k], blocked.brownnzptr[k + 1]
+            row_ids[k, : e - s] = blocked.tile_of_csr[s:e]
+            row_cols[k, : e - s] = blocked.bcolidx[s:e]
+        fused = tuple(jnp.asarray(t) for t in
+                      self.schedule.fused_solve_tables(
+                          blocked.num_tiles, bl))[1:]
+        mt = self.schedule.mega_solve_tables(blocked.num_tiles)
+        npan = max(bucket(max(int(mt["nl_tab"].max(initial=0)),
+                              int(mt["nuc_tab"].max(initial=0)), 1)), 1)
+        mega = {k: jnp.asarray(v) for k, v in mt.items()}
+        import jax as _jax
+
+        from pangulu_tpu.ops.kernels_pallas import MEGA_MAX_PANEL
+
+        use_mega = (self.backend.name == "pallas"
+                    and _jax.default_backend() == "tpu"
+                    and self.schedule.nb == 128
+                    and npan <= MEGA_MAX_PANEL)
+        self._dd_ir_state = (a_th, a_tl, jnp.asarray(row_ids),
+                             jnp.asarray(row_cols), fused, mega, npan,
+                             use_mega)
+        return self._dd_ir_state
+
     def _solve_dd(self, tiles, b: np.ndarray) -> np.ndarray:
-        """r64-on-TPU solve: dd arithmetic end to end."""
+        """r64-on-TPU solve from dd factors (see dd_solve_method)."""
         if self.inv_tiles is None or not isinstance(self.inv_tiles,
                                                     tuple):
             raise RuntimeError(
@@ -317,14 +433,29 @@ class TriangularSolver:
         xb[:bl].reshape(bl * nb, nrhs)[: b2.shape[0]] = b2
         xh = xb.astype(np.float32)
         xl = (xb - xh.astype(np.float64)).astype(np.float32)
-        _, l_ids, l_rows, uc_ids, uc_rows = (
-            jnp.asarray(t) for t in self.schedule.fused_solve_tables(
-                self.blocked.num_tiles, bl))
-        with self.perf.phase("sptrsv"):
-            oh, ol = _fused_solve_dd(
-                tiles.hi, tiles.lo, invh, invl, jnp.asarray(xh),
-                jnp.asarray(xl), l_ids, l_rows, uc_ids, uc_rows)
-            oh = device_sync(oh)
+        if self.dd_solve_method == "ir":
+            (a_th, a_tl, row_ids, row_cols, fused, mega, npan,
+             use_mega) = self._ensure_dd_ir_state()
+            l_ids, l_rows, uc_ids, uc_rows = fused
+            with self.perf.phase("sptrsv"):
+                oh, ol = _dd_ir_solve(
+                    jnp.asarray(xh), jnp.asarray(xl), a_th, a_tl,
+                    tiles.hi, invh, row_ids, row_cols,
+                    l_ids, l_rows, uc_ids, uc_rows,
+                    mega["nl_tab"], mega["nuc_tab"], mega["lid_tab"],
+                    mega["lrow_tab"], mega["ucid_tab"],
+                    mega["ucrow_tab"], nb=nb, bl=bl, npan=npan,
+                    iters=self.dd_ir_iters, use_mega=use_mega)
+                oh = device_sync(oh)
+        else:
+            _, l_ids, l_rows, uc_ids, uc_rows = (
+                jnp.asarray(t) for t in self.schedule.fused_solve_tables(
+                    self.blocked.num_tiles, bl))
+            with self.perf.phase("sptrsv"):
+                oh, ol = _fused_solve_dd(
+                    tiles.hi, tiles.lo, invh, invl, jnp.asarray(xh),
+                    jnp.asarray(xl), l_ids, l_rows, uc_ids, uc_rows)
+                oh = device_sync(oh)
         out = (np.asarray(oh).astype(np.float64)
                + np.asarray(ol).astype(np.float64))
         out = out[:bl].reshape(bl * nb, nrhs)[: self.blocked.n]

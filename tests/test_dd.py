@@ -130,6 +130,67 @@ def test_dd_matches_f64_engine():
                                atol=1e-11)
 
 
+def test_dd_ir_solve_matches_pure_dd():
+    """The device-fused IR solve (default) and the all-dd fused solve
+    must both reach f64-class residuals; IR is the fast path (one f32
+    mega/inv solve + dd residual per round, no level-latency chain)."""
+    a = smallworld(12, seed=5)
+    ro, blocked, schedule = _problem(a, 16)
+    fac = LUFactorizer(blocked, schedule, dispatch="dd")
+    tiles = fac.factorize()
+    b = generated_rhs(a)
+    bt = ro.transform_b(b)
+    outs = {}
+    for method in ("ir", "dd"):
+        ts = TriangularSolver(blocked, schedule, inv_tiles=fac.inv_tiles)
+        ts.dd_solve_method = method
+        w = ts.solve(tiles, bt)
+        x = ro.transform_x(w)
+        res = residual_norm(a.to_scipy(), x, b)
+        assert res < 1e-12, (method, res)
+        outs[method] = x
+    np.testing.assert_allclose(outs["ir"], outs["dd"],
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_dd_blocked_residual_exact():
+    """dd_blocked_residual vs an f64 reference residual."""
+    import jax.numpy as jnp
+
+    a = poisson2d(9)
+    ro, blocked, schedule = _problem(a, 8)
+    bl, nb = schedule.block_length, blocked.nb
+    rng = np.random.default_rng(11)
+    nrhs = 2
+    x = rng.standard_normal((a.n, nrhs))
+    b = rng.standard_normal((a.n, nrhs))
+    ref = b - ro.reordered.to_scipy() @ x
+
+    def blockify(v):
+        out = np.zeros((bl + 1, nb, nrhs))
+        out[:bl].reshape(bl * nb, nrhs)[: a.n] = v
+        return out
+
+    host = blocked.tiles
+    hi = host.astype(np.float32)
+    lo = (host - hi.astype(np.float64)).astype(np.float32)
+    w = int(np.diff(blocked.brownnzptr).max())
+    row_ids = np.full((bl, w), blocked.num_tiles, np.int32)
+    row_cols = np.full((bl, w), bl, np.int32)
+    for k in range(bl):
+        s, e = blocked.brownnzptr[k], blocked.brownnzptr[k + 1]
+        row_ids[k, : e - s] = blocked.tile_of_csr[s:e]
+        row_cols[k, : e - s] = blocked.bcolidx[s:e]
+    xb, bb = blockify(x), blockify(b)
+    xh, xl = D.dd(xb)
+    bh, bl_ = D.dd(bb)
+    rh, rl = jax.jit(D.dd_blocked_residual)(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(row_ids),
+        jnp.asarray(row_cols), xh, xl, bh, bl_)
+    got = D.dd_to_f64(rh, rl)[:bl].reshape(bl * nb, nrhs)[: a.n]
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
 def test_dd_scan_pallas_matches_xla():
     """Interpret-mode Pallas dd LU scan pinned against the XLA path
     (on TPU the compiled kernel replaces the latency-bound XLA loop)."""

@@ -176,6 +176,35 @@ def test_mega_multi_update_chunks():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_mega_small_uch_multi_chunks():
+    """Parameterized update-chunk size (nb=256 support uses uch=16):
+    a forced tiny uch exercises the multi-chunk Schur loop with the
+    non-default chunk geometry."""
+    import jax.numpy as jnp
+
+    from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
+    from pangulu_tpu.ops.kernels_pallas import mega_factorize
+
+    a = random_unsymmetric(150, 0.12, seed=21)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="mindeg"))
+    nt = h.blocked.num_tiles
+    uch = 8
+    assert h.schedule.max_updates > 2 * uch
+    t = {k: (v if isinstance(v, int) else jnp.asarray(v))
+         for k, v in h.schedule.mega_tables(nt, uch=uch).items()}
+    tiles, _ = mega_factorize(
+        h.blocked.device_tiles(), t["diag_tab"], t["nl_tab"],
+        t["nu_tab"], t["nup_tab"], t["lid_tab"], t["uid_tab"],
+        t["udst_tab"], t["udl_tab"], t["udu_tab"], nb=16,
+        tol=float(DEFAULT_TOL[jnp.dtype(h.blocked.dtype)]),
+        bl=h.schedule.block_length, pch=t["pch"], uch=uch)
+    ref = np.asarray(LUFactorizer(h.blocked, h.schedule,
+                                  backend=get_backend("jax"),
+                                  dispatch="segmented").factorize())
+    np.testing.assert_allclose(np.asarray(tiles)[:nt], ref[:nt],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_mega_pch_one_no_half_branch():
     """pch=1 compiles the kernel variant WITHOUT the half-width
     row-product branch (python-level guard `half >= 1` is False) —
