@@ -65,6 +65,31 @@ def test_distributed_end_to_end_residual():
     assert residual_norm(a.to_scipy(), x, b) < 1e-10
 
 
+def test_distributed_factor_check_matches_gathered():
+    """factor_check_vector (on-mesh psum check, no gather) must equal
+    the gathered L(U*1) to roundoff, and api check=True on a mesh must
+    record a tiny gstrf_residual through this path."""
+    from pangulu_tpu.blocks import gather_factor
+
+    a, ro, blocked, schedule = _problem(nb=8, nx=8)
+    mesh = make_mesh(4)
+    dist = DistributedLU(blocked, schedule, mesh.devices.shape, mesh=mesh)
+    tiles = dist.factorize()
+    w = dist.factor_check_vector()
+    lmat, umat = gather_factor(blocked, np.asarray(tiles))
+    ref = lmat @ (umat @ np.ones(blocked.n))
+    np.testing.assert_allclose(w, ref, rtol=1e-12, atol=1e-12)
+
+    from pangulu_tpu.api import InitOptions, Solver
+
+    s = Solver(a, InitOptions(nb=8, dtype="r64", mesh_shape=(2, 2),
+                              check=True))
+    s.factor()
+    res = s.perf.kernels["gstrf_residual"]
+    assert res < 1e-13, res
+    s.close()
+
+
 def test_api_mesh_shape():
     from pangulu_tpu.api import InitOptions, Solver
 
