@@ -552,10 +552,9 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                           sem_diag.at[0]).wait()
 
 
-# Panel chunk width of the factorization kernel (its VMEM use is
-# bounded regardless of level width), and the VMEM ceiling for the
-# solve kernel's resident panel buffer (wider solves fall back to the
-# XLA fused solve).
+# Panel chunk width: both the factorization and solve kernels stream
+# panels through VMEM in chunks of at most this many tiles, so levels
+# of ANY width run in bounded VMEM.
 MEGA_MAX_PANEL = 32
 
 
@@ -652,16 +651,19 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
 def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
                        ucrow_hbm, tiles_hbm, invs_hbm, x_in, x_out,
                        invbuf, tbuf, id_s, row_s, sem_inv, sem_t, sem_tab,
-                       *, nb, bl, npan):
+                       *, nb, bl, npan, pchunk):
     dt = x_out.dtype
     hi = lax.Precision.HIGHEST
     i32 = jnp.int32
     x_out[:, :, :] = x_in[:, :, :]
 
     # Fully software-pipelined sweeps: at entry to level k, its index
-    # rows, triangle inverse AND panel tiles are already in flight /
-    # landed (started one level earlier, double-buffered); level k's
-    # body prefetches k+1's panels and k+2's rows.
+    # rows, triangle inverse AND first panel CHUNK are already in
+    # flight / landed.  Panels stream in chunks of ``pchunk`` tiles
+    # through a ping-pong tbuf: the chunk sequence is global across
+    # levels (each chunk's processing starts the NEXT chunk in the
+    # stream — the next chunk of this level, or chunk 0 of the next
+    # level), so arbitrarily wide panels run in bounded VMEM.
     def _rows(k, sl, id_hbm, row_hbm):
         return (
             pltpu.make_async_copy(id_hbm.at[k], id_s.at[sl],
@@ -678,10 +680,12 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
         return pltpu.make_async_copy(tiles_hbm.at[tid],
                                      tbuf.at[sl, i], sem_t.at[sl, i])
 
-    def _start_tiles(sl, n):
+    def _start_chunk(tb_sl, row_sl, base, cnt):
         lax.fori_loop(
-            0, n,
-            lambda i, c: (_tile(sl, i, id_s[sl, i]).start(), c)[1], 0)
+            0, cnt,
+            lambda t, c: (_tile(tb_sl, t,
+                                id_s[row_sl, base + t]).start(), c)[1],
+            0)
 
     def _sweep(nseg_tab, id_hbm, row_hbm, inv_slot, descending):
         def lvl(i):
@@ -689,7 +693,7 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
             return jnp.asarray(bl - 1 - j if descending else j, i32)
 
         # prologue: rows(0)+inv(0) -> slot 0; rows(1)+inv(1) -> slot 1;
-        # panels(0) -> tbuf slot 0
+        # level 0's chunk 0 -> tbuf slot 0
         for c in _rows(lvl(0), 0, id_hbm, row_hbm):
             c.start()
         _inv(lvl(0), 0, inv_slot).start()
@@ -698,61 +702,81 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
         _inv(lvl(1), 1, inv_slot).start()
         for c in _rows(lvl(0), 0, id_hbm, row_hbm):
             c.wait()
-        _start_tiles(0, nseg_tab[lvl(0)])
+        _start_chunk(0, 0, 0,
+                     jnp.minimum(nseg_tab[lvl(0)], i32(pchunk)))
 
-        def body(i, carry):
-            sl = lax.rem(jnp.asarray(i, i32), i32(2))
+        def body(i, par):
+            row_sl = lax.rem(jnp.asarray(i, i32), i32(2))
             k = lvl(i)
             n = nseg_tab[k]
-            _inv(k, sl, inv_slot).wait()
+            _inv(k, row_sl, inv_slot).wait()
             xk = lax.dot_general(
-                x_out[:, k, :], invbuf[sl],
+                x_out[:, k, :], invbuf[row_sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=dt, precision=hi)
             x_out[:, k, :] = xk
 
-            # prefetch level i+1's panels (its rows landed a level ago)
+            # level i+1's rows must have landed before any chunk start
+            # can read its ids from SMEM
             kn = lvl(i + 1)
-            for c in _rows(kn, 1 - sl, id_hbm, row_hbm):
+            for c in _rows(kn, 1 - row_sl, id_hbm, row_hbm):
                 c.wait()
-            _start_tiles(1 - sl, nseg_tab[kn])
+            nn = nseg_tab[kn]
+            # >=1 chunk even at n == 0 so the stream always advances
+            nch = jnp.maximum(
+                lax.div(n + i32(pchunk - 1), i32(pchunk)), i32(1))
 
-            def t_apply(t, c):
-                _tile(sl, t, id_s[sl, t]).wait()
-                upd = lax.dot_general(
-                    xk, tbuf[sl, t],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=dt, precision=hi)
-                r = row_s[sl, t]
-                x_out[:, r, :] = x_out[:, r, :] - upd
-                return c
+            def chunk_body(c, par):
+                base = c * i32(pchunk)
+                cnt = jnp.clip(n - base, 0, i32(pchunk))
+                # start the NEXT chunk of the global stream
+                is_last = c + 1 >= nch
+                nbase = jnp.where(is_last, i32(0), base + i32(pchunk))
+                nrow_sl = jnp.where(is_last, 1 - row_sl, row_sl)
+                ncnt = jnp.clip(jnp.where(is_last, nn, n) - nbase,
+                                0, i32(pchunk))
+                _start_chunk(1 - par, nrow_sl, nbase, ncnt)
 
-            lax.fori_loop(0, n, t_apply, 0)
+                def t_apply(t, cc):
+                    _tile(par, t, id_s[row_sl, base + t]).wait()
+                    upd = lax.dot_general(
+                        xk, tbuf[par, t],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=dt, precision=hi)
+                    r = row_s[row_sl, base + t]
+                    x_out[:, r, :] = x_out[:, r, :] - upd
+                    return cc
 
-            # rows+inv for level i+2 reuse slot sl (now free)
+                lax.fori_loop(0, cnt, t_apply, 0)
+                return 1 - par
+
+            par = lax.fori_loop(0, nch, chunk_body, par)
+
+            # rows+inv for level i+2 reuse row slot row_sl (now free)
             knn = lvl(i + 2)
-            for c in _rows(knn, sl, id_hbm, row_hbm):
+            for c in _rows(knn, row_sl, id_hbm, row_hbm):
                 c.start()
-            _inv(knn, sl, inv_slot).start()
-            return carry
+            _inv(knn, row_sl, inv_slot).start()
+            return par
 
-        lax.fori_loop(0, bl, body, 0)
+        par = lax.fori_loop(0, bl, body, i32(0))
 
         # drain (semaphore balance).  Start/wait ledger per sweep:
         #   rows:  starts = bl + 2 (prologue 2, one per body);
-        #          waits  = bl + 1 (prologue 1, one per body)
-        #          -> ONE unwaited pair, from body(bl-1), slot (bl-1)%2
+        #          waits  = bl + 1 -> ONE unwaited pair, slot (bl-1)%2
         #   inv:   starts = bl + 2; waits = bl -> TWO unwaited
-        #   tiles: starts = bl + 1 batches; waits = bl batches
-        #          -> ONE unwaited batch, slot bl%2, size nseg(last lvl)
+        #   tiles: every chunk started is waited by its chunk_body,
+        #          EXCEPT the final stream prefetch issued by
+        #          body(bl-1)'s last chunk: (level lvl(bl)->lvl(bl-1),
+        #          chunk 0), tbuf slot `par`, ids at row slot bl%2
         sl_last = lax.rem(i32(bl), i32(2))          # = 1 - (bl-1)%2
         for c in _rows(lvl(i32(bl - 1)), 1 - sl_last, id_hbm, row_hbm):
             c.wait()
         _inv(lvl(i32(bl - 1)), sl_last, inv_slot).wait()
         _inv(lvl(i32(bl - 1)), 1 - sl_last, inv_slot).wait()
         lax.fori_loop(
-            0, nseg_tab[lvl(i32(bl - 1))],
-            lambda i, c: (_tile(sl_last, i, id_s[sl_last, i]).wait(),
+            0, jnp.minimum(nseg_tab[lvl(i32(bl - 1))], i32(pchunk)),
+            lambda t, c: (_tile(par, t, id_s[sl_last, t]).wait(),
                           c)[1], 0)
 
     _sweep(nl_tab, lid_hbm, lrow_hbm, 0, False)    # forward (L)
@@ -772,9 +796,12 @@ def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
 
     x: [nrhs, bl+1, nb] (the +1 segment absorbs padded panel rows);
     tiles: factored tile store; invs: [bl, 2, nb, nb] triangle inverses
-    persisted by :func:`mega_factorize`.  Returns the solved x.
+    persisted by :func:`mega_factorize`.  Panels of ANY width stream in
+    chunks of ``MEGA_MAX_PANEL`` tiles through bounded VMEM.  Returns
+    the solved x.
     """
     dt = x.dtype
+    pchunk = min(max(npan, 1), MEGA_MAX_PANEL)
     row_w = lid_tab.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -791,16 +818,17 @@ def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, nb, nb), dt),             # invbuf (double buf)
-            pltpu.VMEM((2, npan, nb, nb), dt),       # tbuf (double buf)
+            pltpu.VMEM((2, pchunk, nb, nb), dt),     # tbuf (chunk x2)
             pltpu.SMEM((2, row_w), jnp.int32),       # id_s (double buf)
             pltpu.SMEM((2, row_w), jnp.int32),       # row_s (double buf)
             pltpu.SemaphoreType.DMA((2,)),           # sem_inv
-            pltpu.SemaphoreType.DMA((2, npan)),      # sem_t
+            pltpu.SemaphoreType.DMA((2, pchunk)),    # sem_t
             pltpu.SemaphoreType.DMA((2, 2)),         # sem_tab
         ],
     )
     return pl.pallas_call(
-        functools.partial(_mega_solve_kernel, nb=nb, bl=bl, npan=npan),
+        functools.partial(_mega_solve_kernel, nb=nb, bl=bl, npan=npan,
+                          pchunk=pchunk),
         out_shape=jax.ShapeDtypeStruct(x.shape, dt),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

@@ -306,19 +306,13 @@ class TriangularSolver:
     def _mega_eligible(self, nrhs: int) -> bool:
         import jax as _jax
 
-        from pangulu_tpu.ops.kernels_pallas import (MEGA_MAX_PANEL,
-                                                    MEGA_SOLVE_MAX_X_BYTES)
-
         if self.backend.name != "pallas":
             return False
         if _jax.default_backend() != "tpu":
             return False
-        bl, nb = self.schedule.block_length, self.schedule.nb
-        nuc = max((len(lv.ucolpanel) for lv in self.schedule.levels),
-                  default=0)
+        # panels of any width stream in bounded-VMEM chunks
         return (jnp.dtype(self.blocked.dtype) == jnp.float32
-                and nb == 128
-                and max(self.schedule.max_lpanel, nuc, 1) <= MEGA_MAX_PANEL
+                and self.schedule.nb == 128
                 and self._mega_nrhs_max() >= 1)
 
     def _mega_nrhs_max(self) -> int:
@@ -404,12 +398,9 @@ class TriangularSolver:
         mega = {k: jnp.asarray(v) for k, v in mt.items()}
         import jax as _jax
 
-        from pangulu_tpu.ops.kernels_pallas import MEGA_MAX_PANEL
-
         use_mega = (self.backend.name == "pallas"
                     and _jax.default_backend() == "tpu"
-                    and self.schedule.nb == 128
-                    and npan <= MEGA_MAX_PANEL)
+                    and self.schedule.nb == 128)
         self._dd_ir_state = (a_th, a_tl, jnp.asarray(row_ids),
                              jnp.asarray(row_cols), fused, mega, npan,
                              use_mega)

@@ -83,6 +83,36 @@ def test_mega_solve_matches_fused():
                                ts.solve(tiles, B), rtol=1e-4, atol=1e-5)
 
 
+def test_mega_solve_chunked_panels(monkeypatch):
+    """Panels wider than the chunk buffer stream through the global
+    chunk pipeline (the max-panel eligibility gate is gone): force a
+    tiny MEGA_MAX_PANEL so every level takes multiple chunks."""
+    import jax.numpy as jnp
+
+    from pangulu_tpu import sptrsv as sp
+    from pangulu_tpu.ops import kernels_pallas as kp
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a = random_unsymmetric(140, 0.1, seed=17)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="mindeg"))
+    assert h.schedule.max_lpanel > 2
+    bk = get_backend("pallas", nb=16, dtype=h.blocked.dtype)
+    fac = LUFactorizer(h.blocked, h.schedule, backend=bk, dispatch="mega")
+    tiles = fac.factorize()
+    ts = TriangularSolver(h.blocked, h.schedule, backend=bk,
+                          inv_tiles=fac.inv_tiles)
+    b = (h.reordering.reordered.to_scipy()
+         @ np.ones(a.n, np.float32)).astype(np.float32)
+    ref = ts.solve(tiles, b)          # XLA fused path
+    monkeypatch.setattr(kp, "MEGA_MAX_PANEL", 2)
+    kp.mega_solve.clear_cache()
+    try:
+        out = ts._solve_mega(jnp.asarray(tiles), b)
+    finally:
+        kp.mega_solve.clear_cache()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_mega_solve_rhs_chunking(monkeypatch):
     import jax.numpy as jnp
 
