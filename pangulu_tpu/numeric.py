@@ -301,11 +301,25 @@ class LUFactorizer:
         elif dispatch == "mega":
             from pangulu_tpu.ops.kernels_pallas import mega_uch
 
+            # depth-ordered super-level tables pay off only when the
+            # schedule actually has independent same-depth columns
+            # (aligned ND: 256 -> ~25 depths on the bench problem);
+            # chain-type schedules (RCM bands) get identical tables
+            depth = self.schedule.block_depths()
+            use_super = (self.schedule.block_length
+                         - int(depth.max(initial=0)) - 1) > 0
             self._mega = {
                 k: (v if isinstance(v, int) else jnp.asarray(v))
                 for k, v in self.schedule.mega_tables(
                     self.blocked.num_tiles,
-                    uch=mega_uch(self.blocked.nb)).items()}
+                    uch=mega_uch(self.blocked.nb),
+                    superlevel=use_super).items()}
+            if use_super:
+                log.info("mega super-level pipeline: %d levels, %d "
+                         "depths, %d chains run ahead",
+                         self.schedule.block_length,
+                         int(depth.max(initial=0)) + 1,
+                         int(self._mega["flag_tab"].sum()))
         elif dispatch == "superfused":
             self._super_segments = [
                 tuple(jnp.asarray(t) for t in seg)
@@ -449,6 +463,7 @@ class LUFactorizer:
                     tiles, t["diag_tab"], t["nl_tab"], t["nu_tab"],
                     t["nup_tab"], t["lid_tab"], t["uid_tab"],
                     t["udst_tab"], t["udl_tab"], t["udu_tab"],
+                    t.get("flag_tab"), t.get("lev_tab"),
                     nb=self.blocked.nb, tol=mtol,
                     bl=self.schedule.block_length, pch=t["pch"],
                     uch=t["uch"])

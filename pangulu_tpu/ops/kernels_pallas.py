@@ -47,46 +47,43 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _lu_inverses(a, *, nb, tol):
-    """Pure value-level body: unpivoted LU of one VMEM-resident tile +
-    exact Newton-doubling triangle inverses.  Shared by the standalone
-    diag kernel and the whole-factorization mega-kernel."""
-    dt = a.dtype
+def _lu_scan_step(f, k, *, nb, tol):
+    """One rank-1 elimination step of the in-kernel unpivoted LU.
+
+    Mosaic requires lane-dimension indices to be 128-aligned, so row/
+    column/pivot extraction uses masked reductions (full-tile VPU ops)
+    instead of dynamic slices.  The update leaves column k untouched
+    (urow is masked to cols > k), so L columns accumulate UNSCALED —
+    one whole-triangle scale in :func:`_lu_finalize` replaces three
+    per-iteration writeback merges.  Split out of :func:`_lu_inverses`
+    so the super-level kernel can advance a NEXT level's scan one step
+    at a time interleaved with the current level's Schur dots (the VPU
+    scan hides almost completely under the MXU stream — measured)."""
+    dt = f.dtype
     rows = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-    eye = jnp.where(
-        lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
-        == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
-        jnp.ones((), dt), jnp.zeros((), dt))
-
-    # ---- unpivoted LU: in-kernel rank-1 loop ------------------------
-    # Mosaic requires lane-dimension indices to be 128-aligned, so row/
-    # column/pivot extraction uses masked reductions (full-tile VPU
-    # ops) instead of dynamic slices.
     rows_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
     cols_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
+                   axis=0, keepdims=True)           # (1, nb)
+    colv = jnp.sum(jnp.where(cols_f == k, f, jnp.zeros((), dt)),
+                   axis=1, keepdims=True)           # (nb, 1)
+    piv = jnp.sum(jnp.where(cols[0:1, :] == k, rowv,
+                            jnp.zeros((), dt)),
+                  axis=1, keepdims=True)            # (1, 1)
+    safe = jnp.where(jnp.abs(piv) < tol, jnp.asarray(tol, dt), piv)
+    below = rows > k
+    right = cols > k
+    lcol = jnp.where(below, colv / safe, jnp.zeros((), dt))
+    urow = jnp.where(right, rowv, jnp.zeros((), dt))
+    return f - lcol * urow
 
-    # The rank-1 update leaves column k untouched (urow is masked to
-    # cols > k), so L columns accumulate UNSCALED — one whole-triangle
-    # scale at the end replaces three per-iteration writeback merges.
-    def lu_body(k, f):
-        rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
-                       axis=0, keepdims=True)           # (1, nb)
-        colv = jnp.sum(jnp.where(cols_f == k, f, jnp.zeros((), dt)),
-                       axis=1, keepdims=True)           # (nb, 1)
-        piv = jnp.sum(jnp.where(cols[0:1, :] == k, rowv,
-                                jnp.zeros((), dt)),
-                      axis=1, keepdims=True)            # (1, 1)
-        safe = jnp.where(jnp.abs(piv) < tol, jnp.asarray(tol, dt), piv)
-        below = rows > k
-        right = cols > k
-        lcol = jnp.where(below, colv / safe, jnp.zeros((), dt))
-        urow = jnp.where(right, rowv, jnp.zeros((), dt))
-        return f - lcol * urow
 
-    f = lax.fori_loop(0, nb, lu_body, a)
-    # finalize the packed factor: scale L columns by 1/pivot (with the
-    # reference's tiny-pivot substitution) and clamp the diagonal
+def _lu_finalize(f, *, nb, tol):
+    """Finalize the packed factor after the scan: scale L columns by
+    1/pivot (with the reference's tiny-pivot substitution) and clamp
+    the diagonal."""
+    dt = f.dtype
     lower_m = lax.broadcasted_iota(jnp.int32, (nb, nb), 0) > \
         lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     dvec0 = jnp.sum(jnp.where(
@@ -95,11 +92,30 @@ def _lu_inverses(a, *, nb, tol):
         f, jnp.zeros((), dt)), axis=0, keepdims=True)   # (1, nb)
     dsafe0 = jnp.where(jnp.abs(dvec0) < tol, jnp.asarray(tol, dt), dvec0)
     f = jnp.where(lower_m, f * (1.0 / dsafe0), f)
-    f = jnp.where(lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
-                  == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
-                  dsafe0, f)
+    return jnp.where(lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+                     == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
+                     dsafe0, f)
 
-    # ---- Newton–Schulz doubling inverses (exact, MXU) ---------------
+
+def _lu_inverses(a, *, nb, tol):
+    """Pure value-level body: unpivoted LU of one VMEM-resident tile +
+    exact Newton-doubling triangle inverses.  Shared by the standalone
+    diag kernel and the whole-factorization mega-kernels."""
+    f = lax.fori_loop(
+        0, nb, lambda k, f: _lu_scan_step(f, k, nb=nb, tol=tol), a)
+    f = _lu_finalize(f, nb=nb, tol=tol)
+    linv, uinv = _newton_inverses(f, nb=nb, tol=tol)
+    return f, linv, uinv
+
+
+def _newton_inverses(f, *, nb, tol):
+    """Exact Newton–Schulz doubling triangle inverses of a packed
+    factor (MXU; log2(nb) interleaved matmul pairs)."""
+    dt = f.dtype
+    eye = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
+        jnp.ones((), dt), jnp.zeros((), dt))
     steps = max((nb - 1).bit_length() - 1, 0)
     lower = lax.broadcasted_iota(jnp.int32, (nb, nb), 0) > \
         lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
@@ -133,7 +149,7 @@ def _lu_inverses(a, *, nb, tol):
         return x, y
 
     linv, y = lax.fori_loop(0, steps, newton_both, (x, y))
-    return f, linv, y * dinv_row
+    return linv, y * dinv_row
 
 
 def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
@@ -196,18 +212,36 @@ def mega_uch(nb: int) -> int:
     return _UCH if nb <= 128 else max(4 * 1024 * 1024 // (nb * nb * 4), 8)
 
 
-def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
+def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
+                 lid_hbm, uid_hbm,
                  udst_hbm, udl_hbm, udu_hbm, tiles_in, tiles_out,
                  invs_out,
-                 fbuf, linv_b, uinv_b, lpan, upan, prodrow, dstbuf,
+                 fbuf, linv_b, uinv_b, fbuf2, linv2, uinv2,
+                 lpan, upan, prodrow, dstbuf,
                  lid_s, uid_s, udst_s, udl_s, udu_s,
-                 sem_diag, sem_inv, sem_l, sem_u, sem_lo, sem_uo, sem_di,
+                 sem_diag, sem_inv, sem_cdiag, sem_cinv,
+                 sem_l, sem_u, sem_lo, sem_uo, sem_di,
                  sem_do, sem_tab, sem_utab, *, nb, tol, bl, pch, uch):
     """One elimination level per fori iteration; panels processed in
     chunks of ``pch`` tiles so arbitrarily wide levels (irregular
     orderings) run in bounded VMEM.  Schur updates are sorted by
     (u-chunk, l-chunk, l), so the U chunk / L chunk / L-row product are
-    each re-formed only when the corresponding key changes."""
+    each re-formed only when the corresponding key changes.
+
+    SUPER-LEVEL pipelining: levels arrive in dependency-depth order
+    (host-permuted tables); ``flag_tab[k] = 1`` marks a level whose
+    diagonal is INDEPENDENT of level k-1 (same super-level — no update
+    of k-1 touches it; Schedule.block_depths).  Such a level's diag
+    chain runs AHEAD, interleaved into level k-1's Schur stream: its
+    tile is DMA'd at k-1's start, its rank-1 scan advances one step per
+    Schur dot (the VPU scan hides under the MXU stream — measured
+    ~free), and its Newton inverses complete right after the stream.
+    At level k the chain result is already in (fbuf2, linv2, uinv2) —
+    the serial scan+Newton latency leaves the critical path.  The
+    static-schedule counterpart of the reference's concurrent
+    ready-GETRF seeding (pangulu_numeric.c:1054-1068).
+    ``lev_tab[k]`` maps position -> original level id (inverse store
+    indexing for the solve kernel)."""
     dt = tiles_out.dtype
     hi = lax.Precision.HIGHEST
     i32 = jnp.int32
@@ -248,6 +282,33 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         udl_row = udl_s.at[sl]
         udu_row = udu_s.at[sl]
 
+        ahead_self = flag_tab[k] > 0     # my chain ran during level k-1
+        # run level k+1's chain ahead, inside THIS level's Schur stream
+        do_ahead = jnp.logical_and(k + 1 < i32(bl), flag_tab[nxt] > 0)
+        dix_n = diag_tab[nxt]
+
+        # chain-ahead epilogue for THIS level: wait the writebacks
+        # started during level k-1 (frees fbuf2/linv2/uinv2 for the
+        # next ahead chain) and promote the inverses to current
+        @pl.when(ahead_self)
+        def _():
+            pltpu.make_async_copy(fbuf2, tiles_out.at[dix],
+                                  sem_cdiag.at[1]).wait()
+            pltpu.make_async_copy(linv2, invs_out.at[lev_tab[k], 0],
+                                  sem_cinv.at[0]).wait()
+            pltpu.make_async_copy(uinv2, invs_out.at[lev_tab[k], 1],
+                                  sem_cinv.at[1]).wait()
+            linv_b[:, :] = linv2[:, :]
+            uinv_b[:, :] = uinv2[:, :]
+
+        # start the NEXT chain's diag DMA now: its tile receives no
+        # update from this level (same super-level) and all earlier
+        # levels' writebacks landed at the previous barrier
+        @pl.when(do_ahead)
+        def _():
+            pltpu.make_async_copy(tiles_out.at[dix_n], fbuf2,
+                                  sem_cdiag.at[0]).start()
+
         # ---- diagonal step (tile prefetched at the previous level's
         # barrier — its last update had landed there) -------------------
         cin = pltpu.make_async_copy(tiles_out.at[dix], fbuf,
@@ -271,22 +332,23 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                           tiles_out.at[uid_row[i]],
                           upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
                           sem_u.at[i]).start(), c)[1], 0)
-        cin.wait()
-        f, li_m, ui_m = _lu_inverses(fbuf[:, :], nb=nb, tol=tol)
-        fbuf[:, :] = f
-        linv_b[:, :] = li_m
-        uinv_b[:, :] = ui_m
-        cdo = pltpu.make_async_copy(fbuf, tiles_out.at[dix],
-                                    sem_diag.at[1])
-        cdo.start()
-        # persist the triangle inverses: the solve mega-kernel turns
-        # every SpTRSV into pure matmuls against these
-        cli = pltpu.make_async_copy(linv_b, invs_out.at[k, 0],
-                                    sem_inv.at[0])
-        cli.start()
-        cui = pltpu.make_async_copy(uinv_b, invs_out.at[k, 1],
-                                    sem_inv.at[1])
-        cui.start()
+
+        # in-body chain (levels whose chain did NOT run ahead)
+        @pl.when(jnp.logical_not(ahead_self))
+        def _():
+            cin.wait()
+            f, li_m, ui_m = _lu_inverses(fbuf[:, :], nb=nb, tol=tol)
+            fbuf[:, :] = f
+            linv_b[:, :] = li_m
+            uinv_b[:, :] = ui_m
+            pltpu.make_async_copy(fbuf, tiles_out.at[dix],
+                                  sem_diag.at[1]).start()
+            # persist the triangle inverses: the solve mega-kernel
+            # turns every SpTRSV into pure matmuls against these
+            pltpu.make_async_copy(linv_b, invs_out.at[lev_tab[k], 0],
+                                  sem_inv.at[0]).start()
+            pltpu.make_async_copy(uinv_b, invs_out.at[lev_tab[k], 1],
+                                  sem_inv.at[1]).start()
 
         # ---- panel solves, chunked ------------------------------------
         def _l_copy(i, base, outward):
@@ -370,7 +432,15 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
         # are sorted by (u-chunk, l-chunk, l), and dst tiles are
         # disjoint from this level's diag/panel tiles and unique within
         # the level, so RMW traffic never races the panel writebacks.
-        cur0 = (jnp.maximum(nuc - 1, 0), jnp.maximum(nlc - 1, 0), i32(-1))
+        # The NEXT level's chain-ahead scan advances one step per
+        # update dot inside this stream (VPU under MXU — near-free).
+        @pl.when(do_ahead)
+        def _():
+            pltpu.make_async_copy(tiles_out.at[dix_n], fbuf2,
+                                  sem_cdiag.at[0]).wait()
+
+        cur0 = (jnp.maximum(nuc - 1, 0), jnp.maximum(nlc - 1, 0),
+                i32(-1), i32(0))
 
         def chunk(c, cur):
             base = c * uch
@@ -398,7 +468,13 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                 lax.fori_loop(0, cnt, d_in, 0)
 
             def d_compute(j, cur):
-                cur_uc, cur_lc, cur_l = cur
+                cur_uc, cur_lc, cur_l, sj = cur
+
+                @pl.when(do_ahead & (sj < i32(nb)))
+                def _():
+                    fbuf2[:, :] = _lu_scan_step(fbuf2[:, :], sj,
+                                                nb=nb, tol=tol)
+
                 pltpu.make_async_copy(tiles_out.at[udst_row[j]],
                                       dstbuf.at[j], sem_di.at[j]).wait()
                 li = udl_row[j]
@@ -490,7 +566,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                 pltpu.make_async_copy(dstbuf.at[j],
                                       tiles_out.at[udst_row[j]],
                                       sem_do.at[j]).start()
-                return (ucj, lcj, li)
+                return (ucj, lcj, li, sj + 1)
 
             cur = lax.fori_loop(0, cnt, d_compute, cur)
 
@@ -510,12 +586,43 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
             return cur
 
         nchunks = lax.div(nup + i32(uch - 1), i32(uch))
-        lax.fori_loop(0, nchunks, chunk, cur0)
+        cur_end = lax.fori_loop(0, nchunks, chunk, cur0)
+        sj_end = cur_end[3]
+
+        # ---- chain-ahead completion ------------------------------------
+        # finish the next level's scan (steps the update stream didn't
+        # cover), finalize, Newton inverses, and start its writebacks —
+        # waited at level k+1 (sem_cdiag[1]/sem_cinv)
+        @pl.when(do_ahead)
+        def _():
+            def tail_step(s, c):
+                fbuf2[:, :] = _lu_scan_step(fbuf2[:, :], s, nb=nb,
+                                            tol=tol)
+                return c
+
+            lax.fori_loop(jnp.minimum(sj_end, i32(nb)), i32(nb),
+                          tail_step, 0)
+            f2 = _lu_finalize(fbuf2[:, :], nb=nb, tol=tol)
+            fbuf2[:, :] = f2
+            li2, ui2 = _newton_inverses(f2, nb=nb, tol=tol)
+            linv2[:, :] = li2
+            uinv2[:, :] = ui2
+            pltpu.make_async_copy(fbuf2, tiles_out.at[dix_n],
+                                  sem_cdiag.at[1]).start()
+            pltpu.make_async_copy(linv2, invs_out.at[lev_tab[nxt], 0],
+                                  sem_cinv.at[0]).start()
+            pltpu.make_async_copy(uinv2, invs_out.at[lev_tab[nxt], 1],
+                                  sem_cinv.at[1]).start()
 
         # ---- level barrier ---------------------------------------------
-        cdo.wait()
-        cli.wait()
-        cui.wait()
+        @pl.when(jnp.logical_not(ahead_self))
+        def _():
+            pltpu.make_async_copy(fbuf, tiles_out.at[dix],
+                                  sem_diag.at[1]).wait()
+            pltpu.make_async_copy(linv_b, invs_out.at[lev_tab[k], 0],
+                                  sem_inv.at[0]).wait()
+            pltpu.make_async_copy(uinv_b, invs_out.at[lev_tab[k], 1],
+                                  sem_inv.at[1]).wait()
 
         # last Schur chunk's dst writebacks deferred from the chunk loop
         @pl.when(nup > 0)
@@ -538,18 +645,26 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, lid_hbm, uid_hbm,
                           lambda i, c: (_u_copy(i, 0, True).wait(), c)[1], 0)
 
         # every write affecting diag(k+1) has landed: prefetch it now so
-        # the next level's LU starts without a DMA wait
-        pltpu.make_async_copy(
-            tiles_out.at[diag_tab[jnp.minimum(k + 1, i32(bl - 1))]],
-            fbuf, sem_diag.at[0]).start()
+        # the next level's LU starts without a DMA wait (skipped when
+        # the next level's chain ran AHEAD — its tile is already
+        # consumed; mirrored in the post-loop drain)
+        @pl.when(flag_tab[nxt] == 0)
+        def _():
+            pltpu.make_async_copy(tiles_out.at[diag_tab[nxt]],
+                                  fbuf, sem_diag.at[0]).start()
+
         return carry
 
     lax.fori_loop(0, bl, level, 0)
     for w in range(5):
         _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2)), w).wait()
-    # drain the final diag prefetch
-    pltpu.make_async_copy(tiles_out.at[diag_tab[bl - 1]], fbuf,
-                          sem_diag.at[0]).wait()
+
+    # drain the final diag prefetch (issued by the last barrier only
+    # when the last level's chain did not run ahead)
+    @pl.when(flag_tab[bl - 1] == 0)
+    def _():
+        pltpu.make_async_copy(tiles_out.at[diag_tab[bl - 1]], fbuf,
+                              sem_diag.at[0]).wait()
 
 
 # Panel chunk width: both the factorization and solve kernels stream
@@ -563,6 +678,7 @@ MEGA_MAX_PANEL = 32
                    donate_argnums=(0,))
 def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
                    lid_tab, uid_tab, udst_tab, udl_tab, udu_tab,
+                   flag_tab=None, lev_tab=None,
                    *, nb, tol, bl, pch, uch=_UCH):
     """Entire numeric factorization in ONE Pallas launch.
 
@@ -573,13 +689,24 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
     the first ``uch`` lanes of each row holding one update chunk
     (``uch`` also sizes the dstbuf VMEM: uch * nb^2 * 4B — 64 at
     nb=128, smaller for nb=256).
+
+    SUPER-LEVEL mode (Schedule.mega_tables(order=...)): tables arrive
+    permuted into dependency-depth order; ``flag_tab[k] = 1`` marks a
+    level independent of its predecessor, whose diag chain runs AHEAD
+    interleaved in the predecessor's Schur stream; ``lev_tab`` maps
+    position -> original level (inverse-store indexing).  With both
+    None the kernel behaves exactly as before (every chain in-body).
     """
     dt = tiles.dtype
+    if flag_tab is None:
+        flag_tab = jnp.zeros(bl, jnp.int32)
+    if lev_tab is None:
+        lev_tab = jnp.arange(bl, dtype=jnp.int32)
     row_w = udst_tab.shape[-1]
     lid_w = lid_tab.shape[-1]
     uid_w = uid_tab.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # lid_tab
@@ -595,6 +722,9 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.VMEM((nb, nb), dt),               # fbuf
             pltpu.VMEM((nb, nb), dt),               # linv
             pltpu.VMEM((nb, nb), dt),               # uinv
+            pltpu.VMEM((nb, nb), dt),               # fbuf2 (chain-ahead)
+            pltpu.VMEM((nb, nb), dt),               # linv2
+            pltpu.VMEM((nb, nb), dt),               # uinv2
             pltpu.VMEM((pch * nb, nb), dt),         # lpan (chunk)
             pltpu.VMEM((nb, pch * nb), dt),         # upan (column chunk)
             pltpu.VMEM((nb, pch * nb), dt),         # prodrow
@@ -606,6 +736,8 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.SMEM((2, row_w), jnp.int32),      # udu_s
             pltpu.SemaphoreType.DMA((2,)),          # sem_diag
             pltpu.SemaphoreType.DMA((2,)),          # sem_inv
+            pltpu.SemaphoreType.DMA((2,)),          # sem_cdiag (ahead)
+            pltpu.SemaphoreType.DMA((2,)),          # sem_cinv (ahead)
             pltpu.SemaphoreType.DMA((pch,)),        # sem_l
             pltpu.SemaphoreType.DMA((pch,)),        # sem_u
             pltpu.SemaphoreType.DMA((pch,)),        # sem_lo
@@ -622,7 +754,7 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
         out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
                    jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
         grid_spec=grid_spec,
-        input_output_aliases={9: 0},
+        input_output_aliases={11: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
@@ -631,8 +763,9 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
-      udst_tab, udl_tab, udu_tab, tiles)
+    )(diag_tab, nl_tab, nu_tab, nup_tab,
+      jnp.asarray(flag_tab, jnp.int32), jnp.asarray(lev_tab, jnp.int32),
+      lid_tab, uid_tab, udst_tab, udl_tab, udu_tab, tiles)
 
 
 # ---------------------------------------------------------------------------

@@ -155,7 +155,7 @@ class Schedule:
         return out
 
     def mega_tables(self, scratch_tile: int, uch: int = 64,
-                    max_pch: int = 32):
+                    max_pch: int = 32, superlevel: bool = False):
         """Index tables for the single-launch Pallas mega-kernel
         (kernels_pallas.mega_factorize): per-level diag tile, REAL task
         counts (the kernel loops dynamically — no padded DMAs or
@@ -165,7 +165,13 @@ class Schedule:
         Panels are processed in VMEM chunks of ``pch`` tiles; updates
         are sorted per level by (u-chunk, l-chunk, l) so the kernel
         re-forms each U chunk / L chunk / L-row product only when the
-        corresponding key changes."""
+        corresponding key changes.
+
+        ``superlevel=True``: emit the tables in dependency-depth order
+        (a valid elimination order; Schedule.block_depths) plus
+        ``flag_tab`` (level independent of its predecessor — its diag
+        chain can run AHEAD in the kernel) and ``lev_tab`` (position ->
+        original level id, for inverse-store indexing)."""
         bl = self.block_length
         nl_pan = max(bucket(max(self.max_lpanel, 1)), 1)
         nu_pan = max(bucket(max(self.max_upanel, 1)), 1)
@@ -205,10 +211,22 @@ class Schedule:
                 udst[i, cc, :cnt] = s_dst[c:c + cnt]
                 udl[i, cc, :cnt] = s_l[c:c + cnt]
                 udu[i, cc, :cnt] = s_u[c:c + cnt]
-        return dict(diag_tab=diag, nl_tab=nl, nu_tab=nu, nup_tab=nup,
-                    lid_tab=lid, uid_tab=uid,
-                    udst_tab=udst, udl_tab=udl, udu_tab=udu,
-                    npan_l=nl_pan, npan_u=nu_pan, pch=pch, uch=uch)
+        out = dict(diag_tab=diag, nl_tab=nl, nu_tab=nu, nup_tab=nup,
+                   lid_tab=lid, uid_tab=uid,
+                   udst_tab=udst, udl_tab=udl, udu_tab=udu,
+                   npan_l=nl_pan, npan_u=nu_pan, pch=pch, uch=uch)
+        if superlevel:
+            depth = self.block_depths()
+            order = np.lexsort((np.arange(bl), depth)).astype(np.int32)
+            flag = np.zeros(bl, dtype=np.int32)
+            flag[1:] = (depth[order[1:]] == depth[order[:-1]])
+            for key in ("diag_tab", "nl_tab", "nu_tab", "nup_tab",
+                        "lid_tab", "uid_tab", "udst_tab", "udl_tab",
+                        "udu_tab"):
+                out[key] = out[key][order]
+            out["flag_tab"] = flag
+            out["lev_tab"] = order
+        return out
 
     def mega_solve_tables(self, scratch_tile: int):
         """Index tables for the single-launch Pallas SpTRSV

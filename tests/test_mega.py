@@ -206,6 +206,58 @@ def test_mega_multi_update_chunks():
                                rtol=2e-4, atol=2e-4)
 
 
+def _decoupled():
+    """Two independent nb-ALIGNED subsystems -> guaranteed same-depth
+    block columns (unaligned parts would straddle tile columns and
+    serialize the tree)."""
+    import scipy.sparse as sp
+
+    from pangulu_tpu.sparse import CscMatrix
+
+    a1 = poisson2d(8).to_scipy()                      # n = 64 = 4*nb
+    a2 = random_unsymmetric(64, 0.08, seed=4).to_scipy()
+    return CscMatrix.from_scipy(sp.csc_matrix(sp.block_diag([a1, a2])))
+
+
+@pytest.mark.parametrize("gen,kw,ordering", [
+    (poisson2d, dict(nx=12), "nd"),
+    (_decoupled, dict(), "natural"),
+])
+def test_mega_superlevel_matches_fused(gen, kw, ordering):
+    """Super-level pipelined mega kernel (depth-ordered tables,
+    chain-ahead scans interleaved in the Schur stream) must reproduce
+    the fused engine bit-close, and the solve must work off its
+    position-indexed inverse store."""
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a = gen(**kw)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering=ordering))
+    depth = h.schedule.block_depths()
+    t = h.schedule.mega_tables(h.blocked.num_tiles, superlevel=True)
+    assert t["flag_tab"].sum() > 0, "schedule has no super-levels"
+    bk = get_backend("pallas", nb=16, dtype=h.blocked.dtype)
+    mega = LUFactorizer(h.blocked, h.schedule, backend=bk,
+                        dispatch="mega")
+    assert "flag_tab" in mega._mega
+    t_mega = np.asarray(mega.factorize())
+    fused = LUFactorizer(h.blocked, h.schedule,
+                         backend=get_backend("jax"), dispatch="fused")
+    t_fused = np.asarray(fused.factorize())
+    nt = h.blocked.num_tiles
+    np.testing.assert_allclose(t_mega[:nt], t_fused[:nt],
+                               rtol=2e-4, atol=2e-4)
+    # inverses must be stored at ORIGINAL level indices: solve with them
+    ts = TriangularSolver(h.blocked, h.schedule, backend=bk,
+                          inv_tiles=mega.inv_tiles)
+    b = (h.reordering.reordered.to_scipy()
+         @ np.ones(a.n, np.float32)).astype(np.float32)
+    import jax.numpy as jnp
+
+    x = ts._solve_mega(jnp.asarray(t_mega), b)
+    x_ref = ts.solve(t_mega, b)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_mega_small_uch_multi_chunks():
     """Parameterized update-chunk size (nb=256 support uses uch=16):
     a forced tiny uch exercises the multi-chunk Schur loop with the
