@@ -207,6 +207,12 @@ def init(a, opts: InitOptions | None = None) -> Handle:
     )
 
 
+def jnp_f32_check(dtype) -> bool:
+    import jax.numpy as _jnp
+
+    return _jnp.dtype(dtype) == _jnp.float32
+
+
 def _use_complex_embedding(opts: InitOptions) -> bool:
     mode = opts.complex_mode
     if mode == "native":
@@ -267,15 +273,34 @@ def gstrf(handle: Handle) -> None:
         profile_ctx = _jax.profiler.trace(handle.opts.profile_dir)
         profile_ctx.__enter__()
     if handle.opts.tile_storage == "compressed":
-        from pangulu_tpu.compressed import CompressedLU
-
         if handle.opts.mesh_shape is not None:
             raise ValueError("tile_storage='compressed' is single-chip "
                              "(use dense tiles for multi-chip meshes)")
-        handle._factorizer = CompressedLU(
-            handle.blocked, handle.schedule,
-            handle.reordering.reordered, backend=backend,
-            perf=handle.perf)
+        import jax as _jax
+
+        if (backend.name == "pallas" and _jax.default_backend() == "tpu"
+                and jnp_f32_check(handle.blocked.dtype)
+                and handle.opts.nb in (128,)):
+            # O(fill) at mega speed: out-of-core panel driver — the
+            # compressed store at rest, each panel cross factored by
+            # the Pallas mega kernel
+            from pangulu_tpu.outofcore import PanelLU
+
+            log.info("engine: panel out-of-core (compressed store + "
+                     "mega kernel per panel cross)")
+            handle._factorizer = PanelLU(
+                handle.blocked, handle.schedule,
+                handle.reordering.reordered, backend=backend,
+                perf=handle.perf)
+        else:
+            from pangulu_tpu.compressed import CompressedLU
+
+            log.info("engine: compressed XLA (staged level "
+                     "gather/scatter)")
+            handle._factorizer = CompressedLU(
+                handle.blocked, handle.schedule,
+                handle.reordering.reordered, backend=backend,
+                perf=handle.perf)
         handle.factor_tiles = handle._factorizer.factorize()
         log.info("compressed tile store: %.1f MiB vs %.1f MiB dense "
                  "(%.1fx)",

@@ -1,0 +1,317 @@
+"""Out-of-core panel factorization: O(fill) memory at mega-kernel speed.
+
+The reference's storage is universally O(fill) (pangulu_storage.c:83-293)
+while this repo's fast path keeps O(tiles*nb^2) dense tiles in HBM —
+capping single-chip problem size.  This driver removes the cap
+RIGHT-LOOKING AT PANEL GRANULARITY:
+
+  * the factor lives in the compressed u16-slot store
+    (:class:`~pangulu_tpu.compressed.CompressedTiles`) — O(fill-nnz);
+  * block columns are processed in PANELS of ``panel_width`` columns;
+    the panel's CROSS (tiles with block-row or block-col in the panel)
+    is densified (one batched XLA gather), factored by the Pallas
+    mega-kernel (same engine, sub-schedule tables, super-level
+    pipelining included), and compressed back;
+  * the panel's Schur updates to tiles OUTSIDE the cross are batched
+    dense matmuls whose per-destination sums are scatter-SUBTRACTED
+    into the compressed store in bounded-memory chunks.
+
+Only the cross + one update chunk are ever dense, so the dense
+working set is O(cross) regardless of problem size, while all FLOPs
+still run through the mega kernel / MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangulu_tpu.blocks import BlockedMatrix
+from pangulu_tpu.compressed import CompressedTiles
+from pangulu_tpu.ops.interface import KernelBackend, get_backend
+from pangulu_tpu.schedule import Level, Schedule, bucket, build_schedule
+from pangulu_tpu.sparse import CscMatrix
+from pangulu_tpu.utils import device_sync
+from pangulu_tpu.utils.log import get_logger
+from pangulu_tpu.utils.perf import PerfCounters
+
+log = get_logger()
+
+
+# ---------------------------------------------------------------------------
+# jitted store <-> dense staging (shapes keyed on capmax / tile counts)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "capmax"))
+def _gather_dense(values, idx, off, cap, ids, *, nb, capmax):
+    """Compressed slots of tiles ``ids`` -> dense [len(ids)+1, nb, nb]
+    (last tile = zero scratch)."""
+    nn = nb * nb
+    ar = jnp.arange(capmax)
+    pos = off[ids][:, None] + ar[None, :]
+    mask = ar[None, :] < cap[ids][:, None]
+    v = jnp.where(mask, values[pos], 0)
+    ix = jnp.where(mask, idx[pos].astype(jnp.int32), nn)
+    b = ids.shape[0]
+    dense = jnp.zeros((b, nn + 1), values.dtype)
+    dense = dense.at[jnp.arange(b)[:, None], ix].set(v)
+    out = jnp.zeros((b + 1, nb, nb), values.dtype)
+    return out.at[:b].set(dense[:, :nn].reshape(b, nb, nb))
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "capmax"),
+                   donate_argnums=(0,))
+def _scatter_dense(values, idx, off, cap, ids, dense, scratch, *, nb,
+                   capmax):
+    """Write dense tiles back into their compressed slots (positions
+    outside each tile's pattern are exact zeros — the superset-pattern
+    invariant — so dropping them loses nothing)."""
+    nn = nb * nb
+    ar = jnp.arange(capmax)
+    b = ids.shape[0]
+    pos = off[ids][:, None] + ar[None, :]
+    mask = ar[None, :] < cap[ids][:, None]
+    ix = idx[pos].astype(jnp.int32)
+    v = dense[:b].reshape(b, nn)[jnp.arange(b)[:, None],
+                                 jnp.minimum(ix, nn - 1)]
+    tgt = jnp.where(mask, pos, scratch)
+    return values.at[tgt].set(jnp.where(mask, v, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "capmax", "nacc"),
+                   donate_argnums=(0,))
+def _apply_out_updates(values, idx, off, cap, cross, l_sel, u_sel,
+                       acc_sel, dst_ids, *, nb, capmax, nacc):
+    """One chunk of out-of-cross Schur updates: batched MXU products
+    from the factored cross, per-destination accumulation, then a
+    gather-subtract-scatter on the compressed slots.
+
+    l_sel/u_sel: [NU] cross-local tile indices; acc_sel: [NU] index of
+    each update's destination within this chunk's unique-dst list;
+    dst_ids: [nacc] GLOBAL tile ids (pad: scratch tile, cap 0)."""
+    dt = values.dtype
+    prod = jnp.matmul(cross[l_sel], cross[u_sel],
+                      preferred_element_type=dt,
+                      precision=jax.lax.Precision.HIGHEST)
+    acc = jnp.zeros((nacc, nb, nb), dt).at[acc_sel].add(prod)
+    nn = nb * nb
+    ar = jnp.arange(capmax)
+    pos = off[dst_ids][:, None] + ar[None, :]
+    mask = ar[None, :] < cap[dst_ids][:, None]
+    ix = idx[pos].astype(jnp.int32)
+    cur = jnp.where(mask, values[pos], 0)
+    upd = acc.reshape(nacc, nn)[jnp.arange(nacc)[:, None],
+                                jnp.minimum(ix, nn - 1)]
+    scratch = values.shape[0] - capmax
+    tgt = jnp.where(mask, pos, scratch)
+    return values.at[tgt].set(jnp.where(mask, cur - upd, 0))
+
+
+# ---------------------------------------------------------------------------
+# the panel driver
+# ---------------------------------------------------------------------------
+
+
+class PanelLU:
+    """gstrf/gstrs executor: compressed at rest, mega-kernel per panel.
+
+    ``panel_width``: block columns per panel (the dense working set is
+    the panel CROSS; None = auto from a ~2 GB dense-cross budget).
+    ``out_chunk``: max Schur updates staged dense at once."""
+
+    def __init__(self, blocked: BlockedMatrix, schedule: Schedule | None,
+                 a3: CscMatrix, backend: KernelBackend | None = None,
+                 perf: PerfCounters | None = None,
+                 panel_width: int | None = None,
+                 out_chunk: int = 2048):
+        self.blocked = blocked
+        self.schedule = schedule or build_schedule(blocked)
+        self.backend = backend or get_backend(
+            "auto", nb=blocked.nb, dtype=blocked.dtype)
+        self.perf = perf or PerfCounters()
+        self.out_chunk = out_chunk
+        with self.perf.phase("preprocess"):
+            self.store = CompressedTiles(blocked, a3)
+        bl, nb = self.schedule.block_length, blocked.nb
+        if panel_width is None:
+            budget = 2 * 2 ** 30
+            per_col = (max(1, self.blocked.num_tiles // max(bl, 1))
+                       * 2 * nb * nb
+                       * np.dtype(blocked.dtype).itemsize)
+            panel_width = int(min(max(budget // max(per_col, 1), 4), bl))
+        self.panel_width = panel_width
+        # inverse store for the solve (dense, [bl, 2, nb, nb])
+        self.inv_tiles = None
+        self._inv_host = np.zeros((bl, 2, nb, nb), dtype=blocked.dtype)
+        # per-tile block coords
+        nt = blocked.num_tiles
+        self._rows = np.empty(nt, dtype=np.int64)
+        self._cols = np.empty(nt, dtype=np.int64)
+        for bj in range(bl):
+            lo, hi = blocked.bcolptr[bj], blocked.bcolptr[bj + 1]
+            self._rows[lo:hi] = blocked.browidx[lo:hi]
+            self._cols[lo:hi] = bj
+
+    # -- panel pass --------------------------------------------------------
+
+    def _cross_ids(self, c0, c1):
+        in_col = (self._cols >= c0) & (self._cols < c1)
+        in_row = (self._rows >= c0) & (self._rows < c1)
+        return np.flatnonzero(in_col | in_row)
+
+    def _sub_schedule(self, c0, c1, local_of):
+        """Mini Schedule over the panel's levels with CROSS-local tile
+        ids; returns (schedule, out_updates) where out_updates is the
+        list of (dst_global, l_local_cross, u_local_cross)."""
+        levels = []
+        out_dst, out_l, out_u = [], [], []
+        for k in range(c0, c1):
+            lev = self.schedule.levels[k]
+            dst_loc = local_of[lev.upd_dst]
+            keep = dst_loc >= 0
+            lpan_loc = local_of[lev.lpanel]
+            upan_loc = local_of[lev.upanel]
+            assert (lpan_loc >= 0).all() and (upan_loc >= 0).all()
+            # out-of-cross updates: resolved AFTER the panel factors,
+            # via the factored cross panels
+            if (~keep).any():
+                out_dst.append(lev.upd_dst[~keep])
+                out_l.append(lpan_loc[lev.upd_l[~keep]])
+                out_u.append(upan_loc[lev.upd_u[~keep]])
+            # in-panel dependency view for super-level depths
+            above = lev.ucolrows >= c0
+            levels.append(Level(
+                k=k - c0, diag=int(local_of[lev.diag]),
+                lpanel=lpan_loc, lrows=lev.lrows,
+                upanel=upan_loc, ucols=lev.ucols,
+                upd_dst=dst_loc[keep],
+                upd_l=lev.upd_l[keep], upd_u=lev.upd_u[keep],
+                ucolpanel=local_of[lev.ucolpanel[above]],
+                ucolrows=lev.ucolrows[above] - c0,
+            ))
+        sub = Schedule(block_length=c1 - c0, nb=self.schedule.nb,
+                       levels=levels,
+                       n_tstrf=sum(len(l.lpanel) for l in levels),
+                       n_gessm=sum(len(l.upanel) for l in levels),
+                       n_ssssm=sum(len(l.upd_dst) for l in levels))
+
+        def _cat(arrs):
+            return (np.concatenate(arrs) if arrs
+                    else np.empty(0, dtype=np.int64))
+
+        return sub, (_cat(out_dst), _cat(out_l), _cat(out_u))
+
+    def _panel_pass(self, c0, c1):
+        from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
+        from pangulu_tpu.ops.kernels_pallas import (mega_factorize,
+                                                    mega_uch)
+
+        st = self.store
+        nb = st.nb
+        cross = self._cross_ids(c0, c1)
+        local_of = np.full(self.blocked.num_tiles + 1, -1, dtype=np.int64)
+        local_of[cross] = np.arange(len(cross))
+        sub, (odst, olsel, ousel) = self._sub_schedule(c0, c1, local_of)
+
+        # 1. densify the cross (ids padded to a bucket so the gather
+        # jit-caches; pad tiles = scratch tile, cap 0 -> zero tiles)
+        ids_p = np.full(bucket(max(len(cross), 1)), st.num_tiles,
+                        dtype=np.int32)
+        ids_p[: len(cross)] = cross
+        dense = _gather_dense(st.values, st.idx, st.off, st.cap,
+                              jnp.asarray(ids_p), nb=nb,
+                              capmax=st.capmax)
+        # compact view for the kernel: [bucket(len(cross))+1, nb, nb];
+        # the kernel's scratch-tile convention = the LAST slot (pad
+        # tiles in between are zero, gathered from zero-cap scratch)
+        scratch_local = dense.shape[0] - 1
+
+        # 2. mega factorize the cross sub-problem
+        t = sub.mega_tables(scratch_local, uch=mega_uch(nb),
+                            superlevel=True)
+        mtol = (self.backend.tol if self.backend.tol is not None
+                else float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)]))
+        dense, invs = mega_factorize(
+            dense, *(jnp.asarray(t[k]) for k in
+                     ("diag_tab", "nl_tab", "nu_tab", "nup_tab",
+                      "lid_tab", "uid_tab", "udst_tab", "udl_tab",
+                      "udu_tab", "flag_tab", "lev_tab")),
+            nb=nb, tol=mtol, bl=c1 - c0, pch=t["pch"], uch=t["uch"])
+        self._inv_host[c0:c1] = np.asarray(invs)
+
+        # 3. out-of-cross Schur updates, chunked by destination groups
+        if len(odst):
+            order = np.argsort(odst, kind="stable")
+            odst, olsel, ousel = odst[order], olsel[order], ousel[order]
+            starts = np.flatnonzero(np.r_[True, odst[1:] != odst[:-1]])
+            bounds = np.r_[starts, len(odst)]
+            g = 0
+            while g < len(starts):
+                g_end = g
+                while (g_end < len(starts)
+                       and bounds[g_end + 1] - bounds[g]
+                       <= self.out_chunk):
+                    g_end += 1
+                g_end = max(g_end, g + 1)   # one oversized group alone
+                s, e = bounds[g], bounds[g_end]
+                nupd = bucket(int(e - s))
+                nacc = bucket(g_end - g)
+                l_sel = np.full(nupd, len(cross), dtype=np.int32)
+                u_sel = np.full(nupd, len(cross), dtype=np.int32)
+                acc_sel = np.full(nupd, nacc - 1, dtype=np.int32)
+                l_sel[: e - s] = olsel[s:e]
+                u_sel[: e - s] = ousel[s:e]
+                acc_sel[: e - s] = (
+                    np.searchsorted(odst[starts[g:g_end]], odst[s:e]))
+                dst_ids = np.full(nacc, st.num_tiles, dtype=np.int32)
+                dst_ids[: g_end - g] = odst[starts[g:g_end]]
+                # padded update rows: scratch-cross tiles are zero ->
+                # zero products accumulated into the padded acc slot
+                st.values = _apply_out_updates(
+                    st.values, st.idx, st.off, st.cap, dense,
+                    jnp.asarray(l_sel), jnp.asarray(u_sel),
+                    jnp.asarray(acc_sel), jnp.asarray(dst_ids),
+                    nb=nb, capmax=st.capmax, nacc=nacc)
+                g = g_end
+
+        # 4. compress the factored cross back into the store
+        st.values = _scatter_dense(
+            st.values, st.idx, st.off, st.cap, jnp.asarray(ids_p),
+            dense, st.scratch_slot, nb=nb, capmax=st.capmax)
+
+    def factorize(self):
+        bl = self.schedule.block_length
+        w = self.panel_width
+        with self.perf.phase("numeric"):
+            for c0 in range(0, bl, w):
+                self._panel_pass(c0, min(c0 + w, bl))
+            self.store.values = device_sync(self.store.values)
+        self.inv_tiles = jnp.asarray(self._inv_host)
+        self.perf.add_flops(self.schedule.flop_estimate())
+        self.perf.kernel_counts(
+            getrf=bl, tstrf=self.schedule.n_tstrf,
+            gessm=self.schedule.n_gessm, ssssm=self.schedule.n_ssssm)
+        log.info("panel out-of-core: %d panels of %d cols; compressed "
+                 "store %.1f MiB vs %.1f MiB dense (%.1fx)",
+                 -(-bl // w), w, self.store.compressed_bytes / 2 ** 20,
+                 self.store.dense_bytes / 2 ** 20,
+                 self.store.dense_bytes
+                 / max(self.store.compressed_bytes, 1))
+        return self.store
+
+    # -- solve -------------------------------------------------------------
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        """Compressed-store solve against the collected inverses."""
+        from pangulu_tpu.compressed import CompressedLU
+
+        if getattr(self, "_clu", None) is None:
+            self._clu = CompressedLU.from_store(
+                self.blocked, self.schedule, self.store,
+                backend=self.backend, perf=self.perf)
+            self._clu.inv_tiles = self.inv_tiles
+        return self._clu.solve(b)

@@ -110,6 +110,22 @@ for name, a, opts in extra:
           flush=True)
     finalize(h)
 
+# super-level pipelined mega path (chain-ahead) on chip: aligned ND
+# gives same-depth groups; flags must be active and residual tiny
+a = poisson3d(20)
+h = init(a, InitOptions(nb=128, dtype="r32", ordering="nd",
+                        symbolic_mode="block"))
+gstrf(h)
+nflags = int(h._factorizer._mega.get("flag_tab", np.zeros(1)).sum()) \
+    if h._factorizer._mega else 0
+b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
+x = gstrs(h, b)
+res = residual_norm(a.to_scipy(), x, b)
+print(f"{'superlevel nd+mega':22s} n={a.n:7d} chains-ahead={nflags:5d} "
+      f"residual={res:.2e} "
+      f"{'OK' if res < 1e-4 and nflags > 0 else 'FAIL'}", flush=True)
+finalize(h)
+
 # nb=256 (the reference default, pangulu.c:52-56) through the mega
 # factorize kernel (uch=16 chunk geometry); solve takes the XLA path
 a = poisson3d(16)
