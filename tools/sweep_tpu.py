@@ -158,6 +158,23 @@ print(f"{'r64 dd IR solve':22s} n={a.n:7d} dispatch=dd-ir     "
       f"{'OK' if res < 1e-10 else 'FAIL'}", flush=True)
 finalize(h)
 
+# out-of-core panel driver on chip: compressed at rest + mega per
+# panel cross (tile_storage="compressed" auto-routes here on TPU r32)
+a = poisson3d(16)
+h = init(a, InitOptions(nb=128, dtype="r32", ordering="rcm",
+                        symbolic_mode="scalar",
+                        tile_storage="compressed", refine=3))
+gstrf(h)
+disp = type(h._factorizer).__name__
+b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
+x = gstrs(h, b)
+res = residual_norm(a.to_scipy(), x, b)
+print(f"{'ooc panel compressed':22s} n={a.n:7d} dispatch={disp:10s} "
+      f"residual={res:.2e} "
+      f"{'OK' if res < 1e-4 and disp == 'PanelLU' else 'FAIL'}",
+      flush=True)
+finalize(h)
+
 # transpose solve on the chip (A^T x = b from the same factors)
 from pangulu_tpu.api import gstrs as _gstrs  # noqa: E402
 a = random_unsymmetric(1500, 0.004, seed=13)
