@@ -103,6 +103,8 @@ class Handle:
     _factorizer: object = None
     _trisolver: object = None
     _dist: object = None               # multi-chip executor state
+    _comp_store: object = None         # compressed-store structure cache
+                                       # (reused across refactorizations)
 
 
 def init(a, opts: InitOptions | None = None) -> Handle:
@@ -280,7 +282,9 @@ def gstrf(handle: Handle) -> None:
 
         if (backend.name == "pallas" and _jax.default_backend() == "tpu"
                 and jnp_f32_check(handle.blocked.dtype)
-                and handle.opts.nb in (128,)):
+                and handle.opts.nb == 128):
+            # (nb=256 exceeds the u16 in-tile index range of the
+            # compressed store; 128 is the MXU tile anyway)
             # O(fill) at mega speed: out-of-core panel driver — the
             # compressed store at rest, each panel cross factored by
             # the Pallas mega kernel
@@ -291,7 +295,7 @@ def gstrf(handle: Handle) -> None:
             handle._factorizer = PanelLU(
                 handle.blocked, handle.schedule,
                 handle.reordering.reordered, backend=backend,
-                perf=handle.perf)
+                perf=handle.perf, store=handle._comp_store)
         else:
             from pangulu_tpu.compressed import CompressedLU
 
@@ -300,8 +304,12 @@ def gstrf(handle: Handle) -> None:
             handle._factorizer = CompressedLU(
                 handle.blocked, handle.schedule,
                 handle.reordering.reordered, backend=backend,
-                perf=handle.perf)
+                perf=handle.perf, store=handle._comp_store)
         handle.factor_tiles = handle._factorizer.factorize()
+        # the store's structure is reusable by a same-pattern
+        # refactorization (update_values + gstrf): O(nnz) refill
+        # instead of a fresh fill walk
+        handle._comp_store = handle._factorizer.store
         log.info("compressed tile store: %.1f MiB vs %.1f MiB dense "
                  "(%.1fx)",
                  handle.factor_tiles.compressed_bytes / 2 ** 20,

@@ -133,11 +133,16 @@ class CompressedTiles:
         np.add.at(values, slots[r], a3.values)
         # padded diagonal tail = 1.0 (identity; matches blocks.py)
         tail = np.arange(n, bl * nb, dtype=np.int64)
+        tail_slots = np.empty(0, dtype=np.int64)
         if len(tail):
             tkey = (blocked.tile_ids(tail // nb, tail // nb) * nn
                     + (tail % nb) * nb + (tail % nb))
             tr = np.searchsorted(key, tkey)
-            values[slots[tr]] = 1.0
+            tail_slots = slots[tr]
+            values[tail_slots] = 1.0
+        # retained for the O(nnz) refactorization fast path (refill)
+        self._a_slots = slots[r]
+        self._tail_slots = tail_slots
 
         self.blocked = blocked
         self.nb, self.num_tiles = nb, nt
@@ -157,6 +162,16 @@ class CompressedTiles:
                 f"use r32/dense (r64-on-TPU at speed is the dense dd "
                 f"engine)")
         self.host_off, self.host_cap = off, cap
+
+    def refill(self, a3: CscMatrix) -> None:
+        """Refactorization fast path: replace the store's VALUES from a
+        same-pattern matrix — O(nnz), no fill walk (the reference
+        requires a full finalize+init here, README.md:125)."""
+        values = np.zeros(self.scratch_slot + self.capmax,
+                          dtype=self.blocked.dtype)
+        np.add.at(values, self._a_slots, a3.values)
+        values[self._tail_slots] = 1.0
+        self.values = jnp.asarray(values)
 
     # -- memory accounting -------------------------------------------------
     @property
@@ -291,7 +306,7 @@ class CompressedLU:
     def __init__(self, blocked: BlockedMatrix, schedule: Schedule | None,
                  a3: CscMatrix, backend: KernelBackend | None = None,
                  perf: PerfCounters | None = None,
-                 precision: str = "highest"):
+                 precision: str = "highest", store=None):
         self.blocked = blocked
         self.schedule = schedule or build_schedule(blocked)
         self.backend = backend or get_backend(
@@ -299,7 +314,11 @@ class CompressedLU:
         self.perf = perf or PerfCounters()
         self.precision = precision
         with self.perf.phase("preprocess"):
-            self.store = CompressedTiles(blocked, a3)
+            if store is not None:      # refactorize: same pattern,
+                store.refill(a3)       # new values — O(nnz)
+                self.store = store
+            else:
+                self.store = CompressedTiles(blocked, a3)
         self._fused_args = tuple(
             jnp.asarray(t) for t in
             self.schedule.fused_tables(self.blocked.num_tiles))

@@ -127,7 +127,7 @@ class PanelLU:
                  a3: CscMatrix, backend: KernelBackend | None = None,
                  perf: PerfCounters | None = None,
                  panel_width: int | None = None,
-                 out_chunk: int = 2048):
+                 out_chunk: int = 2048, store=None):
         self.blocked = blocked
         self.schedule = schedule or build_schedule(blocked)
         self.backend = backend or get_backend(
@@ -135,7 +135,11 @@ class PanelLU:
         self.perf = perf or PerfCounters()
         self.out_chunk = out_chunk
         with self.perf.phase("preprocess"):
-            self.store = CompressedTiles(blocked, a3)
+            if store is not None:      # refactorize: same pattern,
+                store.refill(a3)       # new values — O(nnz)
+                self.store = store
+            else:
+                self.store = CompressedTiles(blocked, a3)
         bl, nb = self.schedule.block_length, blocked.nb
         if panel_width is None:
             budget = 2 * 2 ** 30

@@ -77,6 +77,33 @@ def test_compressed_memory_savings_circuit():
     assert residual_norm(a.to_scipy(), x, b) < 1e-6
 
 
+def test_compressed_refactorize_fast_path():
+    """update_values + gstrf on compressed storage reuses the store
+    STRUCTURE (O(nnz) refill, no second fill walk) and stays correct."""
+    a = circuit(500, seed=4)
+    s = a.to_scipy()
+    h = init(a, InitOptions(nb=16, dtype="r64",
+                            tile_storage="compressed"))
+    b = generated_rhs(a)
+    x1 = gssv(h, b)
+    from pangulu_tpu.utils.perf import residual_norm as rn
+
+    assert rn(s, x1, b) < 1e-9
+    store1 = h._comp_store
+    assert store1 is not None
+    s2 = s.copy()
+    s2.data = s2.data * (1.0 + 0.05 * np.sin(np.arange(s2.nnz)))
+    from pangulu_tpu.api import update_values
+
+    update_values(h, s2)
+    gstrf(h)
+    assert h._comp_store is store1  # structure reused, not rebuilt
+    b2 = np.asarray(s2 @ np.ones(a.n))
+    x2 = gstrs(h, b2)
+    assert rn(s2.tocsc(), x2, b2) < 1e-9
+    finalize(h)
+
+
 def test_compressed_rejects_nb_over_255():
     """u16 in-tile positions cap nb at 255 (sentinel nb*nb must fit);
     nb=256 must fail with a clear error upfront, not an OverflowError
