@@ -301,13 +301,20 @@ class LUFactorizer:
         elif dispatch == "mega":
             from pangulu_tpu.ops.kernels_pallas import mega_uch
 
-            # depth-ordered super-level tables pay off only when the
-            # schedule actually has independent same-depth columns
-            # (aligned ND: 256 -> ~25 depths on the bench problem);
-            # chain-type schedules (RCM bands) get identical tables
+            # Super-level chain-ahead: MEASURED on v5e (r3) to give no
+            # overlap — the Mosaic scheduler software-pipelines small
+            # straight-line bodies (microbenchmarks showed VPU scans
+            # hiding under MXU dots) but not the branchy update stream,
+            # so interleaved chain scans serialize and add ~5us/chain
+            # (smallworld(90): 5.66 -> 5.92 ms; poisson3d(32) nd:
+            # 16.2 -> 17.0 ms).  The mechanism is kept correct+tested;
+            # enable explicitly to re-evaluate on other TPU generations.
+            import os
+
             depth = self.schedule.block_depths()
-            use_super = (self.schedule.block_length
-                         - int(depth.max(initial=0)) - 1) > 0
+            use_super = (os.environ.get("PANGULU_TPU_SUPERLEVEL") == "1"
+                         and (self.schedule.block_length
+                              - int(depth.max(initial=0)) - 1) > 0)
             self._mega = {
                 k: (v if isinstance(v, int) else jnp.asarray(v))
                 for k, v in self.schedule.mega_tables(

@@ -57,8 +57,7 @@ def _lu_scan_step(f, k, *, nb, tol):
     one whole-triangle scale in :func:`_lu_finalize` replaces three
     per-iteration writeback merges.  Split out of :func:`_lu_inverses`
     so the super-level kernel can advance a NEXT level's scan one step
-    at a time interleaved with the current level's Schur dots (the VPU
-    scan hides almost completely under the MXU stream — measured)."""
+    at a time interleaved with the current level's Schur dots."""
     dt = f.dtype
     rows = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
@@ -213,15 +212,16 @@ def mega_uch(nb: int) -> int:
 
 
 def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
-                 lid_hbm, uid_hbm,
+                 comb_hbm,
                  udst_hbm, udl_hbm, udu_hbm, tiles_in, tiles_out,
                  invs_out,
                  fbuf, linv_b, uinv_b, fbuf2, linv2, uinv2,
                  lpan, upan, prodrow, dstbuf,
-                 lid_s, uid_s, udst_s, udl_s, udu_s,
+                 comb_s, udst_c, udl_c, udu_c,
                  sem_diag, sem_inv, sem_cdiag, sem_cinv,
                  sem_l, sem_u, sem_lo, sem_uo, sem_di,
-                 sem_do, sem_tab, sem_utab, *, nb, tol, bl, pch, uch):
+                 sem_do, sem_tab, sem_utab, *, nb, tol, bl, pch, uch,
+                 comb_lw, comb_uw, comb_rw):
     """One elimination level per fori iteration; panels processed in
     chunks of ``pch`` tiles so arbitrarily wide levels (irregular
     orderings) run in bounded VMEM.  Schur updates are sorted by
@@ -234,33 +234,48 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
     of k-1 touches it; Schedule.block_depths).  Such a level's diag
     chain runs AHEAD, interleaved into level k-1's Schur stream: its
     tile is DMA'd at k-1's start, its rank-1 scan advances one step per
-    Schur dot (the VPU scan hides under the MXU stream — measured
-    ~free), and its Newton inverses complete right after the stream.
-    At level k the chain result is already in (fbuf2, linv2, uinv2) —
-    the serial scan+Newton latency leaves the critical path.  The
-    static-schedule counterpart of the reference's concurrent
+    Schur dot, and its Newton inverses complete right after the stream
+    — the static-schedule counterpart of the reference's concurrent
     ready-GETRF seeding (pangulu_numeric.c:1054-1068).
     ``lev_tab[k]`` maps position -> original level id (inverse store
-    indexing for the solve kernel)."""
+    indexing for the solve kernel).
+
+    MEASURED OUTCOME on v5e (r3): in microbenchmarks a VPU scan step
+    adjacent to an MXU dot in a tiny loop body overlaps ~perfectly,
+    but inside this kernel's branchy update stream the Mosaic
+    scheduler does NOT overlap them — interleaved chains serialize and
+    add ~5 us each (smallworld(90): 5.66 -> 5.92 ms).  Auto-dispatch
+    therefore leaves flag_tab zero; set PANGULU_TPU_SUPERLEVEL=1 to
+    re-evaluate (e.g. on newer TPU generations)."""
     dt = tiles_out.dtype
     hi = lax.Precision.HIGHEST
     i32 = jnp.int32
 
     # Index-table rows stream HBM -> SMEM double-buffered: level k's
-    # panel-id rows AND its first Schur-update chunk rows were
-    # prefetched during level k-1, so table fetches never sit on the
-    # critical path (the full tables exceed SMEM for large bl).
-    _ROW_SRC = (lid_hbm, uid_hbm, udst_hbm, udl_hbm, udu_hbm)
-    _ROW_DST = (lid_s, uid_s, udst_s, udl_s, udu_s)
+    # panel-id row AND its first Schur-update chunk rows (all fused
+    # into ONE combined row — five separate per-level DMAs measured
+    # ~3-4 us/level of pure start/wait overhead) were prefetched during
+    # level k-1, so table fetches never sit on the critical path (the
+    # full tables exceed SMEM for large bl).
+    lid_w = comb_lw
+    uid_w = comb_uw
+    row_w = comb_rw
+    o_uid = lid_w
+    o_udst = lid_w + uid_w
+    o_udl = o_udst + row_w
+    o_udu = o_udl + row_w
+    comb_pad = -(-(lid_w + uid_w + 3 * row_w) // 1024) * 1024
 
-    def _row_copy(k, sl, which):
-        src = (_ROW_SRC[which].at[k] if which < 2
-               else _ROW_SRC[which].at[k, 0])   # update tables: chunk 0
-        return pltpu.make_async_copy(src, _ROW_DST[which].at[sl],
-                                     sem_tab.at[sl, which])
+    def _row_copy(k, sl):
+        # comb_s is kept 1D: 2D SMEM buffers get a (2,128) tiled
+        # layout whose single-row slices Mosaic rejects; 1D offsets
+        # sl*comb_pad are tile-aligned (comb_pad is a 1024-multiple)
+        return pltpu.make_async_copy(
+            comb_hbm.at[pl.ds(k * i32(comb_pad), comb_pad)],
+            comb_s.at[pl.ds(sl * i32(comb_pad), comb_pad)],
+            sem_tab.at[sl])
 
-    for w in range(5):
-        _row_copy(0, 0, w).start()
+    _row_copy(0, 0).start()
     # prologue diag prefetch (subsequent levels prefetch at the barrier)
     pltpu.make_async_copy(tiles_out.at[diag_tab[0]], fbuf,
                           sem_diag.at[0]).start()
@@ -271,16 +286,37 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         nu = nu_tab[k]
         nup = nup_tab[k]
         sl = lax.rem(jnp.asarray(k, i32), i32(2))
-        for w in range(5):
-            _row_copy(k, sl, w).wait()
+        _row_copy(k, sl).wait()
         nxt = jnp.minimum(k + 1, i32(bl - 1))
-        for w in range(5):
-            _row_copy(nxt, 1 - sl, w).start()
-        lid_row = lid_s.at[sl]
-        uid_row = uid_s.at[sl]
-        udst_row = udst_s.at[sl]
-        udl_row = udl_s.at[sl]
-        udu_row = udu_s.at[sl]
+        _row_copy(nxt, 1 - sl).start()
+        # scalar accessors into the fused comb row (a compound SMEM
+        # slice ref is NOT sliceable on dim 0 in Mosaic — read scalars
+        # by offset instead); update-table rows for chunks > 0 live in
+        # the dedicated 1D buffers
+        cbase = sl * i32(comb_pad)
+
+        class _CombRow:
+            def __init__(self, off):
+                self.off = off
+
+            def __getitem__(self, j):
+                return comb_s[cbase + self.off + j]
+
+        lid_row = _CombRow(0)
+        uid_row = _CombRow(o_uid)
+
+        def _urow(off, cbuf, c, j):
+            return jnp.where(c == i32(0), comb_s[cbase + off + j],
+                             cbuf[j])
+
+        def udst_at(c, j):
+            return _urow(o_udst, udst_c, c, j)
+
+        def udl_at(c, j):
+            return _urow(o_udl, udl_c, c, j)
+
+        def udu_at(c, j):
+            return _urow(o_udu, udu_c, c, j)
 
         ahead_self = flag_tab[k] > 0     # my chain ran during level k-1
         # run level k+1's chain ahead, inside THIS level's Schur stream
@@ -318,7 +354,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         # under the diag DMA + LU + panel work
         lax.fori_loop(0, jnp.minimum(nup, i32(uch)),
                       lambda j, c: (pltpu.make_async_copy(
-                          tiles_out.at[udst_row[j]],
+                          tiles_out.at[udst_at(i32(0), j)],
                           dstbuf.at[j], sem_di.at[j]).start(), c)[1], 0)
         # prefetch the FIRST panel chunks: they load while the diag DMA
         # and the LU + inverse compute run
@@ -448,19 +484,19 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
 
             @pl.when(c > 0)  # chunk 0 rows/dsts prefetched at level start
             def _():
-                for tab, dst_s, slot in ((udst_hbm, udst_row, 0),
-                                         (udl_hbm, udl_row, 1),
-                                         (udu_hbm, udu_row, 2)):
+                for tab, dst_s, slot in ((udst_hbm, udst_c, 0),
+                                         (udl_hbm, udl_c, 1),
+                                         (udu_hbm, udu_c, 2)):
                     pltpu.make_async_copy(tab.at[k, c], dst_s,
                                           sem_utab.at[slot]).start()
-                for tab, dst_s, slot in ((udst_hbm, udst_row, 0),
-                                         (udl_hbm, udl_row, 1),
-                                         (udu_hbm, udu_row, 2)):
+                for tab, dst_s, slot in ((udst_hbm, udst_c, 0),
+                                         (udl_hbm, udl_c, 1),
+                                         (udu_hbm, udu_c, 2)):
                     pltpu.make_async_copy(tab.at[k, c], dst_s,
                                           sem_utab.at[slot]).wait()
 
                 def d_in(j, cc):
-                    pltpu.make_async_copy(tiles_out.at[udst_row[j]],
+                    pltpu.make_async_copy(tiles_out.at[udst_at(c, j)],
                                           dstbuf.at[j],
                                           sem_di.at[j]).start()
                     return cc
@@ -469,16 +505,10 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
 
             def d_compute(j, cur):
                 cur_uc, cur_lc, cur_l, sj = cur
-
-                @pl.when(do_ahead & (sj < i32(nb)))
-                def _():
-                    fbuf2[:, :] = _lu_scan_step(fbuf2[:, :], sj,
-                                                nb=nb, tol=tol)
-
-                pltpu.make_async_copy(tiles_out.at[udst_row[j]],
+                pltpu.make_async_copy(tiles_out.at[udst_at(c, j)],
                                       dstbuf.at[j], sem_di.at[j]).wait()
-                li = udl_row[j]
-                uj = udu_row[j]
+                li = udl_at(c, j)
+                uj = udu_at(c, j)
                 ucj = lax.div(uj, i32(pch))
                 lcj = lax.div(li, i32(pch))
                 uc_ch = ucj != cur_uc
@@ -561,10 +591,18 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                         lpan[lsl, :], upan[:, :],
                         preferred_element_type=dt, precision=hi)
 
+                # the chain-ahead scan step sits BETWEEN the dot issue
+                # and the dependent subtract: the VPU advances the next
+                # level's scan while the MXU finishes the row product
+                @pl.when(do_ahead & (sj < i32(nb)))
+                def _():
+                    fbuf2[:, :] = _lu_scan_step(fbuf2[:, :], sj,
+                                                nb=nb, tol=tol)
+
                 usl = pl.ds(pl.multiple_of((uj - ucj * pch) * nb, nb), nb)
                 dstbuf[j] = dstbuf[j] - prodrow[:, usl]
                 pltpu.make_async_copy(dstbuf.at[j],
-                                      tiles_out.at[udst_row[j]],
+                                      tiles_out.at[udst_at(c, j)],
                                       sem_do.at[j]).start()
                 return (ucj, lcj, li, sj + 1)
 
@@ -577,7 +615,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
             def _():
                 def d_wait(j, cc):
                     pltpu.make_async_copy(dstbuf.at[j],
-                                          tiles_out.at[udst_row[j]],
+                                          tiles_out.at[udst_at(c, j)],
                                           sem_do.at[j]).wait()
                     return cc
 
@@ -595,14 +633,14 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         # waited at level k+1 (sem_cdiag[1]/sem_cinv)
         @pl.when(do_ahead)
         def _():
-            def tail_step(s, c):
-                fbuf2[:, :] = _lu_scan_step(fbuf2[:, :], s, nb=nb,
-                                            tol=tol)
-                return c
-
-            lax.fori_loop(jnp.minimum(sj_end, i32(nb)), i32(nb),
-                          tail_step, 0)
-            f2 = _lu_finalize(fbuf2[:, :], nb=nb, tol=tol)
+            # tail: VALUE-carried fori (per-step ref round trips cost
+            # ~2x; leaf-ish levels with few updates leave most of the
+            # scan to this tail)
+            f2 = lax.fori_loop(
+                jnp.minimum(sj_end, i32(nb)), i32(nb),
+                lambda s, f: _lu_scan_step(f, s, nb=nb, tol=tol),
+                fbuf2[:, :])
+            f2 = _lu_finalize(f2, nb=nb, tol=tol)
             fbuf2[:, :] = f2
             li2, ui2 = _newton_inverses(f2, nb=nb, tol=tol)
             linv2[:, :] = li2
@@ -628,9 +666,11 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         @pl.when(nup > 0)
         def _():
             last = nup - (nchunks - 1) * i32(uch)
+            c_last = jnp.maximum(nchunks - 1, i32(0))
             lax.fori_loop(0, last,
                           lambda j, c: (pltpu.make_async_copy(
-                              dstbuf.at[j], tiles_out.at[udst_row[j]],
+                              dstbuf.at[j],
+                              tiles_out.at[udst_at(c_last, j)],
                               sem_do.at[j]).wait(), c)[1], 0)
 
         # single-chunk panel writebacks deferred from phase 1
@@ -656,8 +696,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         return carry
 
     lax.fori_loop(0, bl, level, 0)
-    for w in range(5):
-        _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2)), w).wait()
+    _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2))).wait()
 
     # drain the final diag prefetch (issued by the last barrier only
     # when the last level's chain did not run ahead)
@@ -705,12 +744,26 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
     row_w = udst_tab.shape[-1]
     lid_w = lid_tab.shape[-1]
     uid_w = uid_tab.shape[-1]
+    # ONE combined per-level index row (panel ids + first update
+    # chunk): a single SMEM DMA per level instead of five.  Kept 1D —
+    # a 2D i32 array gets an (8,128)-tiled layout whose single-row
+    # slices Mosaic rejects; 1D rows slice at lane-aligned offsets
+    # (comb_w is a multiple of 128 by construction of the widths).
+    comb_w = lid_w + uid_w + 3 * row_w
+    comb_pad = -(-comb_w // 1024) * 1024   # 1D i32 tiling is 1024
+    comb_tab = jnp.concatenate(
+        [lid_tab, uid_tab, udst_tab[:, 0], udl_tab[:, 0],
+         udu_tab[:, 0],
+         jnp.zeros((lid_tab.shape[0], comb_pad - comb_w), jnp.int32)],
+        axis=1).reshape(-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # lid_tab
-            pl.BlockSpec(memory_space=pltpu.ANY),   # uid_tab
+            # the comb table MUST live in HBM: it is a jit-internal
+            # concatenate, and an ANY placement may pick VMEM, where
+            # single-row i32 slices break the (8,128) tiling rule
+            pl.BlockSpec(memory_space=pltpu.HBM),   # comb_tab
             pl.BlockSpec(memory_space=pltpu.ANY),   # udst_tab
             pl.BlockSpec(memory_space=pltpu.ANY),   # udl_tab
             pl.BlockSpec(memory_space=pltpu.ANY),   # udu_tab
@@ -729,11 +782,10 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.VMEM((nb, pch * nb), dt),         # upan (column chunk)
             pltpu.VMEM((nb, pch * nb), dt),         # prodrow
             pltpu.VMEM((uch, nb, nb), dt),          # dstbuf
-            pltpu.SMEM((2, lid_w), jnp.int32),      # lid_s (double buf)
-            pltpu.SMEM((2, uid_w), jnp.int32),      # uid_s (double buf)
-            pltpu.SMEM((2, row_w), jnp.int32),      # udst_s (double buf)
-            pltpu.SMEM((2, row_w), jnp.int32),      # udl_s
-            pltpu.SMEM((2, row_w), jnp.int32),      # udu_s
+            pltpu.SMEM((2 * comb_pad,), jnp.int32),  # comb_s (double buf)
+            pltpu.SMEM((row_w,), jnp.int32),        # udst_c (chunks > 0)
+            pltpu.SMEM((row_w,), jnp.int32),        # udl_c
+            pltpu.SMEM((row_w,), jnp.int32),        # udu_c
             pltpu.SemaphoreType.DMA((2,)),          # sem_diag
             pltpu.SemaphoreType.DMA((2,)),          # sem_inv
             pltpu.SemaphoreType.DMA((2,)),          # sem_cdiag (ahead)
@@ -744,17 +796,18 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
             pltpu.SemaphoreType.DMA((pch,)),        # sem_uo
             pltpu.SemaphoreType.DMA((uch,)),        # sem_di
             pltpu.SemaphoreType.DMA((uch,)),        # sem_do
-            pltpu.SemaphoreType.DMA((2, 5)),        # sem_tab (rows)
+            pltpu.SemaphoreType.DMA((2,)),          # sem_tab (comb row)
             pltpu.SemaphoreType.DMA((3,)),          # sem_utab
         ],
     )
     return pl.pallas_call(
         functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl,
-                          pch=pch, uch=uch),
+                          pch=pch, uch=uch, comb_lw=lid_w,
+                          comb_uw=uid_w, comb_rw=row_w),
         out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
                    jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
         grid_spec=grid_spec,
-        input_output_aliases={11: 0},
+        input_output_aliases={10: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
@@ -765,7 +818,7 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
         interpret=_interpret(),
     )(diag_tab, nl_tab, nu_tab, nup_tab,
       jnp.asarray(flag_tab, jnp.int32), jnp.asarray(lev_tab, jnp.int32),
-      lid_tab, uid_tab, udst_tab, udl_tab, udu_tab, tiles)
+      comb_tab, udst_tab, udl_tab, udu_tab, tiles)
 
 
 # ---------------------------------------------------------------------------

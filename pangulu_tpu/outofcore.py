@@ -234,16 +234,22 @@ class PanelLU:
         # tiles in between are zero, gathered from zero-cap scratch)
         scratch_local = dense.shape[0] - 1
 
-        # 2. mega factorize the cross sub-problem
-        t = sub.mega_tables(scratch_local, uch=mega_uch(nb),
-                            superlevel=True)
+        # 2. mega factorize the cross sub-problem (chain-ahead off by
+        # default — measured no overlap on v5e; opt in via env)
+        import os
+
+        t = sub.mega_tables(
+            scratch_local, uch=mega_uch(nb),
+            superlevel=os.environ.get("PANGULU_TPU_SUPERLEVEL") == "1")
         mtol = (self.backend.tol if self.backend.tol is not None
                 else float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)]))
         dense, invs = mega_factorize(
             dense, *(jnp.asarray(t[k]) for k in
                      ("diag_tab", "nl_tab", "nu_tab", "nup_tab",
                       "lid_tab", "uid_tab", "udst_tab", "udl_tab",
-                      "udu_tab", "flag_tab", "lev_tab")),
+                      "udu_tab")),
+            None if "flag_tab" not in t else jnp.asarray(t["flag_tab"]),
+            None if "lev_tab" not in t else jnp.asarray(t["lev_tab"]),
             nb=nb, tol=mtol, bl=c1 - c0, pch=t["pch"], uch=t["uch"])
         self._inv_host[c0:c1] = np.asarray(invs)
 

@@ -223,13 +223,15 @@ def _decoupled():
     (poisson2d, dict(nx=12), "nd"),
     (_decoupled, dict(), "natural"),
 ])
-def test_mega_superlevel_matches_fused(gen, kw, ordering):
+def test_mega_superlevel_matches_fused(gen, kw, ordering, monkeypatch):
     """Super-level pipelined mega kernel (depth-ordered tables,
     chain-ahead scans interleaved in the Schur stream) must reproduce
     the fused engine bit-close, and the solve must work off its
-    position-indexed inverse store."""
+    position-indexed inverse store.  (Opt-in via env — measured to not
+    overlap on v5e, kept correct for future hardware.)"""
     from pangulu_tpu.sptrsv import TriangularSolver
 
+    monkeypatch.setenv("PANGULU_TPU_SUPERLEVEL", "1")
     a = gen(**kw)
     h = init(a, InitOptions(nb=16, dtype="r32", ordering=ordering))
     depth = h.schedule.block_depths()

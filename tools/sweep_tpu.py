@@ -111,11 +111,16 @@ for name, a, opts in extra:
     finalize(h)
 
 # super-level pipelined mega path (chain-ahead) on chip: aligned ND
-# gives same-depth groups; flags must be active and residual tiny
+# gives same-depth groups; flags must be active and residual tiny.
+# (Off by default — measured no overlap on v5e; the sweep still
+# exercises the code path for correctness.)
+import os  # noqa: E402
+os.environ["PANGULU_TPU_SUPERLEVEL"] = "1"
 a = poisson3d(20)
 h = init(a, InitOptions(nb=128, dtype="r32", ordering="nd",
                         symbolic_mode="block"))
 gstrf(h)
+del os.environ["PANGULU_TPU_SUPERLEVEL"]
 nflags = int(h._factorizer._mega.get("flag_tab", np.zeros(1)).sum()) \
     if h._factorizer._mega else 0
 b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
