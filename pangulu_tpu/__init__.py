@@ -32,6 +32,7 @@ from pangulu_tpu.api import (
     gssv,
     gstrf,
     gstrs,
+    gstrs_device,
     init,
     spsolve,
     update_values,
@@ -46,6 +47,7 @@ __all__ = [
     "init",
     "gstrf",
     "gstrs",
+    "gstrs_device",
     "gssv",
     "spsolve",
     "update_values",

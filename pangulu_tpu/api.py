@@ -105,6 +105,8 @@ class Handle:
     _dist: object = None               # multi-chip executor state
     _comp_store: object = None         # compressed-store structure cache
                                        # (reused across refactorizations)
+    _device_transforms: object = None  # gstrs_device permutation state
+    _a3_rows_dev: object = None        # gstrs_device residual state
 
 
 def init(a, opts: InitOptions | None = None) -> Handle:
@@ -494,6 +496,117 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None,
     return x.astype(b_in.dtype) if b_in.dtype.kind in "fc" else x
 
 
+def gstrs_device(handle: Handle, b, refine: int = 0):
+    """Device-resident gstrs: ``b`` is a jax array ``[n]`` or
+    ``[n, nrhs]`` already on device; the scaling, permutations, solve
+    and back-permutation all run on device and the result returns as a
+    device array WITHOUT a host sync.
+
+    This is the TPU serving path: back-to-back solves chain with zero
+    host round trips (one tunnel readback costs more than ten solve
+    launches here).  The reference's repeated pangulu_gstrs calls
+    (pangulu.c:271) are host-resident; the device chain is the
+    TPU-idiomatic equivalent.  Supports the single-chip dense-tile
+    engines (mega/fused); use :meth:`TriangularSolver.solve_blocked`
+    directly for dd-pair (r64) serving.
+
+    ``refine``: rounds of device-side f32 iterative refinement using
+    the ORIGINAL A3 tiles (residual in working precision — for
+    f64-class accuracy use the host-residual path in :func:`gstrs`).
+    """
+    import jax.numpy as jnp
+
+    from pangulu_tpu.compressed import CompressedTiles
+    from pangulu_tpu.numeric import DdTiles
+
+    if handle.factor_tiles is None:
+        raise RuntimeError("gstrs called before gstrf (reference aborts "
+                           "the same way)")
+    if (handle._dist is not None and handle._dist.single is None) or \
+            isinstance(handle.factor_tiles, (CompressedTiles, DdTiles)) \
+            or handle.complex_embed is not None:
+        raise NotImplementedError(
+            "gstrs_device supports the single-chip dense-tile path; "
+            "for dd (r64) factors use TriangularSolver.solve_blocked")
+    if handle._trisolver is None:
+        backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
+                              dtype=handle.blocked.dtype)
+        inv_tiles = (handle._dist.single.inv_tiles
+                     if handle._dist is not None
+                     else getattr(handle._factorizer, "inv_tiles", None))
+        handle._trisolver = TriangularSolver(
+            handle.blocked, handle.schedule, backend=backend,
+            perf=handle.perf, inv_tiles=inv_tiles)
+    solver = handle._trisolver
+    if getattr(handle, "_device_transforms", None) is None:
+        ro = handle.reordering
+        n = handle.blocked.n
+        bl, nb = handle.schedule.block_length, handle.schedule.nb
+        dt = handle.blocked.dtype
+        pad = bl * nb - n  # blocked slots beyond n read b[0] * 0
+        in_idx = np.concatenate([ro.perm, np.zeros(pad, np.int64)])
+        in_scale = np.concatenate(
+            [ro.row_scale[ro.perm], np.zeros(pad)]).astype(dt)
+        cpinv = np.empty(n, np.int64)
+        cpinv[ro.colperm] = np.arange(n)
+        invperm = np.empty(n, np.int64)
+        invperm[ro.perm] = np.arange(n)
+        out_idx = invperm[cpinv]
+        out_scale = ro.col_scale.astype(dt)
+        handle._device_transforms = (
+            jnp.asarray(in_idx), jnp.asarray(in_scale),
+            jnp.asarray(out_idx), jnp.asarray(out_scale))
+    in_idx, in_scale, out_idx, out_scale = handle._device_transforms
+    bl, nb = handle.schedule.block_length, handle.schedule.nb
+    n = handle.blocked.n
+    tiles = handle.factor_tiles
+    squeeze = b.ndim == 1
+    b2 = b[:, None] if squeeze else b
+    nrhs = b2.shape[1]
+    bt = (b2[in_idx] * in_scale[:, None]).astype(handle.blocked.dtype)
+
+    def mk_xb():  # solve_blocked may DONATE its input — rebuild per use
+        xb = jnp.zeros((bl + 1, nb, nrhs), handle.blocked.dtype)
+        return xb.at[:bl].set(bt.reshape(bl, nb, nrhs))
+
+    w = solver.solve_blocked(tiles, mk_xb())
+    for _ in range(refine):
+        # device-side refinement: r = bt - A3 w (working precision)
+        r = _a3_residual_device(handle, w, mk_xb())
+        dw = solver.solve_blocked(tiles, r)
+        w = w + dw
+    xflat = w[:bl].reshape(bl * nb, nrhs)[:n]
+    out = xflat[out_idx] * out_scale[:, None]
+    return out[:, 0] if squeeze else out
+
+
+def _a3_residual_device(handle: Handle, w, xb):
+    """Blocked working-precision residual ``xb - A3 w`` on device (A3
+    tiles gathered block-row-wise; pad slots hit the all-zero scratch
+    tile/segment so they are exact no-ops)."""
+    import jax.numpy as jnp
+
+    if getattr(handle, "_a3_rows_dev", None) is None:
+        blocked, bl = handle.blocked, handle.schedule.block_length
+        wmax = max(int(np.diff(blocked.brownnzptr).max()), 1)
+        row_ids = np.full((bl, wmax), blocked.num_tiles, np.int32)
+        row_cols = np.full((bl, wmax), bl, np.int32)
+        for k in range(bl):
+            s, e = blocked.brownnzptr[k], blocked.brownnzptr[k + 1]
+            row_ids[k, : e - s] = blocked.tile_of_csr[s:e]
+            row_cols[k, : e - s] = blocked.bcolidx[s:e]
+        handle._a3_rows_dev = (jnp.asarray(handle.blocked.tiles),
+                               jnp.asarray(row_ids),
+                               jnp.asarray(row_cols))
+    a3, row_ids, row_cols = handle._a3_rows_dev
+    r = xb
+    for i in range(row_ids.shape[1]):
+        upd = jnp.einsum("bij,bjr->bir", a3[row_ids[:, i]],
+                         w[row_cols[:, i]])
+        r = r.at[:row_ids.shape[0]].add(-upd)
+    return r
+
+
 def update_values(handle: Handle, a_new) -> None:
     """Refactorization fast path: replace the matrix VALUES while
     keeping its sparsity pattern, reusing the reordering, symbolic
@@ -529,6 +642,7 @@ def update_values(handle: Handle, a_new) -> None:
     # Invalidate numeric state; analysis artifacts are reused.
     handle.factor_tiles = None
     handle._factorizer = None
+    handle._a3_rows_dev = None   # gstrs_device residual reads A3 values
     if handle._dist is not None:
         handle._dist = None  # rebuilt (with reused jit cache) on gstrf
 
@@ -616,6 +730,8 @@ def finalize(handle: Handle) -> None:
     handle._factorizer = None
     handle._trisolver = None
     handle._dist = None
+    handle._device_transforms = None
+    handle._a3_rows_dev = None
 
 
 def spsolve(a, b, **options):

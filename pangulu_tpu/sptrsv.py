@@ -470,6 +470,63 @@ class TriangularSolver:
         out = self.unblockify(x)
         return out[:, 0] if squeeze else out
 
+    def solve_blocked(self, tiles, xb):
+        """Device-resident solve: ``xb`` is an ALREADY-BLOCKED rhs on
+        device (``[bl+1, nb, nrhs]``, see :meth:`blockify_rhs`; for dd
+        factors a ``(hi, lo)`` pair of such arrays) and the result
+        comes back in the same blocked layout WITHOUT a host sync.
+        The input buffer may be DONATED (consumed) by the underlying
+        engine — do not reuse it after the call.
+
+        This is the serving path: back-to-back solves chain entirely
+        on-device, paying zero host round trips between them (one
+        tunnel readback costs ~26 ms here — more than ten mega_solve
+        launches).  The reference's pangulu_gstrs always runs host-
+        resident vectors (pangulu_sptrsv.c); on TPU the device-resident
+        chain is the idiomatic equivalent of its repeated-solve loop.
+        """
+        from pangulu_tpu.numeric import DdTiles
+
+        if isinstance(tiles, DdTiles):
+            xh, xl = (xb if isinstance(xb, tuple)
+                      else (xb, jnp.zeros_like(xb)))
+            invh, invl = self.inv_tiles
+            (a_th, a_tl, row_ids, row_cols, fused, mega, npan,
+             use_mega) = self._ensure_dd_ir_state()
+            l_ids, l_rows, uc_ids, uc_rows = fused
+            nb, bl = self.schedule.nb, self.schedule.block_length
+            return _dd_ir_solve(
+                xh, xl, a_th, a_tl, tiles.hi, invh, row_ids, row_cols,
+                l_ids, l_rows, uc_ids, uc_rows,
+                mega["nl_tab"], mega["nuc_tab"], mega["lid_tab"],
+                mega["lrow_tab"], mega["ucid_tab"], mega["ucrow_tab"],
+                nb=nb, bl=bl, npan=npan, iters=self.dd_ir_iters,
+                use_mega=use_mega)
+        nrhs = int(xb.shape[-1])
+        if self._mega_eligible(nrhs) and nrhs <= self._mega_nrhs_max():
+            from pangulu_tpu.ops.kernels_pallas import mega_solve
+            from pangulu_tpu.schedule import bucket
+
+            bl, nb = self.schedule.block_length, self.schedule.nb
+            if self._mega_tables is None:
+                t = self.schedule.mega_solve_tables(self.blocked.num_tiles)
+                npan = max(bucket(max(int(t["nl_tab"].max(initial=0)),
+                                      int(t["nuc_tab"].max(initial=0)),
+                                      1)), 1)
+                self._mega_tables = (
+                    {k: jnp.asarray(v) for k, v in t.items()}, npan)
+            t, npan = self._mega_tables
+            invs = self._ensure_inverses(tiles)
+            xt = jnp.transpose(xb, (2, 0, 1))      # [nrhs, bl+1, nb]
+            xt = mega_solve(xt, tiles, invs, t["nl_tab"], t["nuc_tab"],
+                            t["lid_tab"], t["lrow_tab"], t["ucid_tab"],
+                            t["ucrow_tab"], nb=nb, bl=bl, npan=npan)
+            return jnp.transpose(xt, (1, 2, 0))
+        tiles = jnp.asarray(tiles)
+        with jax.default_matmul_precision(self.precision):
+            return _fused_solve(self.backend, tiles, xb,
+                                *self._fused_args)
+
     def solve(self, tiles, b: np.ndarray) -> np.ndarray:
         """Solve LU x = b on the factored tiles.  Returns x with the
         same leading shape as b (pangulu_solve, pangulu_sptrsv.c:176)."""
