@@ -118,6 +118,17 @@ def init(a, opts: InitOptions | None = None) -> Handle:
 
         enable_compilation_cache()
     dtype = opts.resolve_dtype()
+    if np.dtype(dtype).itemsize == 8 * (
+            2 if np.dtype(dtype).kind == "c" else 1):
+        # r64/cr64 requested: without x64, jnp silently truncates every
+        # device array to f32 and a "double" solve returns single
+        # precision (the CLI already does this; the library must too).
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            log.info("dtype %s requires 64-bit mode: enabling "
+                     "jax_enable_x64", opts.dtype)
+            jax.config.update("jax_enable_x64", True)
     if opts.nb <= 0:
         opts.nb = 128
     if opts.tile_storage == "compressed" and opts.nb * opts.nb > 65535:

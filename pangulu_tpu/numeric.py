@@ -228,6 +228,9 @@ class LUFactorizer:
     numeric phase (pangulu_gstrf, pangulu.c:211).
 
     ``dispatch``: "mega" = single-launch Pallas kernel (TPU fast path);
+    "mega_group" = the same with batched super-level groups (G
+    independent diag chains per iteration — auto-picked when the
+    schedule compresses, e.g. nested dissection);
     "fused" = single-dispatch XLA fori_loop engine; "segmented" = fused
     in signature-homogeneous runs (bounds padding on skewed schedules);
     "levels" = per-level bucketed dispatch; "auto" = mega when eligible,
@@ -269,8 +272,13 @@ class LUFactorizer:
                 dispatch = "dd"
                 reason = "f64 on TPU -> double-float f32 engine"
             elif self._mega_eligible():
-                dispatch = "mega"
-                reason = "single-launch Pallas fast path"
+                if self._group_worthwhile():
+                    dispatch = "mega_group"
+                    reason = ("single-launch Pallas fast path, "
+                              "batched super-level groups")
+                else:
+                    dispatch = "mega"
+                    reason = "single-launch Pallas fast path"
             elif (self.schedule.fused_overhead()
                   <= self.FUSED_OVERHEAD_LIMIT):
                 dispatch = "fused"
@@ -327,6 +335,18 @@ class LUFactorizer:
                          self.schedule.block_length,
                          int(depth.max(initial=0)) + 1,
                          int(self._mega["flag_tab"].sum()))
+        elif dispatch == "mega_group":
+            from pangulu_tpu.ops.kernels_pallas import mega_uch
+
+            self._mega = {
+                k: (v if isinstance(v, int) else jnp.asarray(v))
+                for k, v in self.schedule.group_mega_tables(
+                    self.blocked.num_tiles,
+                    uch=mega_uch(self.blocked.nb),
+                    gmax=self.GROUP_GMAX).items()}
+            log.info("mega batched groups: %d levels -> %d groups "
+                     "(gmax=%d)", self.schedule.block_length,
+                     self._mega["ngroups"], self._mega["gmax"])
         elif dispatch == "superfused":
             self._super_segments = [
                 tuple(jnp.asarray(t) for t in seg)
@@ -359,6 +379,29 @@ class LUFactorizer:
             why.append(f"nb={self.blocked.nb} not in (128, 256)")
         return (f"{engine}; mega ineligible: " + ", ".join(why)
                 if why else engine)
+
+    # Batched-group kernel batch cap: bounds fb3/linv3/uinv3 VMEM
+    # (3 * GMAX * nb^2 * 4B = 3 MB at 16/128) and the batched-scan VPU
+    # width.  Groups wider than this split (members stay independent).
+    GROUP_GMAX = 16
+
+    def _group_worthwhile(self) -> bool:
+        """Batched super-level groups pay when they meaningfully shrink
+        the sequential group count vs per-level chains: each group
+        replaces G per-level fixed costs (~35 us measured:
+        tools/exp_mega_phases.py chains_only) with one.  Chain-type
+        schedules (RCM bands: every level depends on its predecessor)
+        compress nothing and stay on the chain kernel.  Override via
+        PANGULU_TPU_GROUP=0/1."""
+        import os
+
+        env = os.environ.get("PANGULU_TPU_GROUP")
+        if env is not None:
+            return env == "1"
+        bl = self.schedule.block_length
+        ng = sum(-(-len(m) // self.GROUP_GMAX)
+                 for m in self.schedule.superlevels())
+        return bl >= 1.5 * ng
 
     def _dd_eligible(self) -> bool:
         """r64/cr64-embedded on a real TPU runs the double-float engine
@@ -458,6 +501,34 @@ class LUFactorizer:
             # must complete before the numeric timer starts.
             with self.perf.phase("preprocess"):
                 tiles = device_sync(self.blocked.device_tiles())
+        if self.dispatch == "mega_group":
+            from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
+            from pangulu_tpu.ops.kernels_pallas import (
+                mega_factorize_groups,
+            )
+
+            t = self._mega
+            mtol = (self.backend.tol if self.backend.tol is not None
+                    else float(DEFAULT_TOL[jnp.dtype(self.blocked.dtype)]))
+            with self.perf.phase("numeric"):
+                tiles, self.inv_tiles = mega_factorize_groups(
+                    tiles, t["gs_tab"], t["nup_tab"], t["gdiag_tab"],
+                    t["glev_tab"], t["gloff_tab"], t["guoff_tab"],
+                    t["lid_tab"], t["uid_tab"], t["udst_tab"],
+                    t["udl_tab"], t["udu_tab"],
+                    nb=self.blocked.nb, tol=mtol, ng=t["ngroups"],
+                    gmax=t["gmax"], pch=t["pch"], uch=t["uch"],
+                    bl=self.schedule.block_length)
+                if sync:
+                    tiles = device_sync(tiles)
+            self.perf.add_flops(self.schedule.flop_estimate())
+            self.perf.kernel_counts(
+                getrf=self.schedule.block_length,
+                tstrf=self.schedule.n_tstrf,
+                gessm=self.schedule.n_gessm,
+                ssssm=self.schedule.n_ssssm,
+            )
+            return tiles
         if self.dispatch == "mega":
             from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
             from pangulu_tpu.ops.kernels_pallas import mega_factorize

@@ -822,6 +822,539 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
 
 
 # ---------------------------------------------------------------------------
+# Batched-group mega-kernel (super-levels)
+# ---------------------------------------------------------------------------
+#
+# The chain kernel above pays ~35 us of serial per-level cost (scan
+# latency + Newton + DMA waits + barrier) for EVERY elimination level —
+# 76% of the bench kernel's wall time (tools/exp_mega_phases.py).  A
+# nested-dissection schedule has many mutually independent columns at
+# equal dependency depth (Schedule.superlevels): this kernel processes
+# one GROUP of G <= gmax such columns per iteration — their G diagonal
+# LUs advance as ONE batched 3D rank-1 scan (the per-step masks
+# broadcast over the member axis), inverses and panel solves run
+# per-member back-to-back, and the group's Schur updates form one
+# stream.  The per-group fixed cost replaces G per-level fixed costs.
+# Static-schedule counterpart of the reference's concurrent ready-GETRF
+# seeding (pangulu_numeric.c:1054-1068).
+#
+# Updates from different members may hit the same destination tile
+# (their Schur contributions commute).  Within a chunk they share one
+# dstbuf slot: host tables pack slot (bits 20-27) + load-first (28) +
+# write-last (29) flags into udl, so each dst is DMA'd once,
+# accumulated in VMEM, and written once.
+
+
+def _scan_step_3d(f, k, *, g, nb, tol):
+    """One batched rank-1 elimination step over (g, nb, nb) — the 3D
+    broadcast of :func:`_lu_scan_step` (member axis leading; masks and
+    reductions act on the trailing two dims)."""
+    dt = f.dtype
+    rows_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 1)
+    cols_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 2)
+    rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
+                   axis=1, keepdims=True)           # (g, 1, nb)
+    colv = jnp.sum(jnp.where(cols_f == k, f, jnp.zeros((), dt)),
+                   axis=2, keepdims=True)           # (g, nb, 1)
+    piv = jnp.sum(jnp.where(
+        lax.broadcasted_iota(jnp.int32, (g, 1, nb), 2) == k, rowv,
+        jnp.zeros((), dt)), axis=2, keepdims=True)  # (g, 1, 1)
+    safe = jnp.where(jnp.abs(piv) < tol, jnp.asarray(tol, dt), piv)
+    below = lax.broadcasted_iota(jnp.int32, (g, nb, 1), 1) > k
+    right = lax.broadcasted_iota(jnp.int32, (g, 1, nb), 2) > k
+    lcol = jnp.where(below, colv / safe, jnp.zeros((), dt))
+    urow = jnp.where(right, rowv, jnp.zeros((), dt))
+    return f - lcol * urow
+
+
+def _lu_finalize_3d(f, *, g, nb, tol):
+    """Batched :func:`_lu_finalize` over (g, nb, nb)."""
+    dt = f.dtype
+    rows_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 1)
+    cols_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 2)
+    lower_m = rows_f > cols_f
+    dvec0 = jnp.sum(jnp.where(rows_f == cols_f, f, jnp.zeros((), dt)),
+                    axis=1, keepdims=True)          # (g, 1, nb)
+    dsafe0 = jnp.where(jnp.abs(dvec0) < tol, jnp.asarray(tol, dt),
+                       dvec0)
+    f = jnp.where(lower_m, f * (1.0 / dsafe0), f)
+    return jnp.where(rows_f == cols_f, dsafe0, f)
+
+
+def _group_kernel(gs_tab, nup_tab,
+                  comb_hbm, udst_hbm, udl_hbm, udu_hbm,
+                  tiles_in, tiles_out, invs_out,
+                  fb3, linv3, uinv3, lpan, upan, prodrow, dstbuf,
+                  comb_s, udst_c, udl_c, udu_c,
+                  sem_diag, sem_dio, sem_inv,
+                  sem_l, sem_u, sem_lo, sem_uo, sem_di, sem_do,
+                  sem_tab, sem_utab,
+                  *, nb, tol, ng, gmax, pch, uch,
+                  comb_lw, comb_uw, comb_rw):
+    """One super-level GROUP per fori iteration; see the section
+    comment above for the design and hazard rules.  Correctness rests
+    on: (1) group diag/panel tiles are pairwise disjoint and disjoint
+    from the group's update destinations (members are same-depth, so
+    no member column depends on another); (2) same-dst updates share a
+    dstbuf slot within a chunk and chunks are ordered by the
+    end-of-chunk writeback waits; (3) everything a later group reads
+    lands at the group barrier."""
+    dt = tiles_out.dtype
+    hi = lax.Precision.HIGHEST
+    i32 = jnp.int32
+
+    lid_w = comb_lw
+    uid_w = comb_uw
+    row_w = comb_rw
+    o_uid = lid_w
+    o_gdiag = o_uid + uid_w
+    o_glev = o_gdiag + gmax
+    o_gloff = o_glev + gmax
+    o_guoff = o_gloff + (gmax + 1)
+    o_udst = o_guoff + (gmax + 1)
+    o_udl = o_udst + row_w
+    o_udu = o_udl + row_w
+    comb_pad = -(-(o_udu + row_w) // 1024) * 1024
+
+    def _row_copy(g, sl):
+        return pltpu.make_async_copy(
+            comb_hbm.at[pl.ds(g * i32(comb_pad), comb_pad)],
+            comb_s.at[pl.ds(sl * i32(comb_pad), comb_pad)],
+            sem_tab.at[sl])
+
+    # prologue: fetch group 0's row NOW (its diag ids are needed before
+    # the loop to start the first diag DMAs)
+    _row_copy(0, 0).start()
+    _row_copy(0, 0).wait()
+
+    def _diag_prefetch(sl, cnt):
+        """Start diag DMAs for the group whose row is in slot ``sl``."""
+        base = sl * i32(comb_pad) + i32(o_gdiag)
+
+        def d(m, c):
+            pltpu.make_async_copy(tiles_out.at[comb_s[base + m]],
+                                  fb3.at[m], sem_diag.at[m]).start()
+            return c
+
+        lax.fori_loop(0, cnt, d, 0)
+
+    _diag_prefetch(0, gs_tab[0])
+
+    def group(g, carry):
+        gs = gs_tab[g]
+        nup = nup_tab[g]
+        sl = lax.rem(jnp.asarray(g, i32), i32(2))
+        nxt = jnp.minimum(g + 1, i32(ng - 1))
+
+        @pl.when(g + 1 < i32(ng))
+        def _():
+            _row_copy(nxt, 1 - sl).start()
+
+        cbase = sl * i32(comb_pad)
+
+        class _Row:
+            def __init__(self, off):
+                self.off = off
+
+            def __getitem__(self, j):
+                return comb_s[cbase + self.off + j]
+
+        lid_row = _Row(0)
+        uid_row = _Row(o_uid)
+        gdiag = _Row(o_gdiag)
+        glev = _Row(o_glev)
+        gloff = _Row(o_gloff)
+        guoff = _Row(o_guoff)
+        nl_tot = gloff[gmax]     # total L panels of the group
+        nu_tot = guoff[gmax]
+
+        def _urow(off, cbuf, c, j):
+            return jnp.where(c == i32(0), comb_s[cbase + off + j],
+                             cbuf[j])
+
+        def udst_at(c, j):
+            return _urow(o_udst, udst_c, c, j)
+
+        def udl_at(c, j):
+            return _urow(o_udl, udl_c, c, j)
+
+        def udu_at(c, j):
+            return _urow(o_udu, udu_c, c, j)
+
+        def _unpack(v):
+            li = lax.rem(v, i32(1 << 20))
+            slot = lax.rem(lax.div(v, i32(1 << 20)), i32(256))
+            doload = lax.rem(lax.div(v, i32(1 << 28)), i32(2))
+            dowrite = lax.div(v, i32(1 << 29))
+            return li, slot, doload, dowrite
+
+        # chunk-0 dst prefetch: flagged first-occurrences only (slot-
+        # shared duplicates reuse the loaded tile)
+        def d_in0(j, c):
+            _, slot, doload, _ = _unpack(udl_at(i32(0), j))
+
+            @pl.when(doload > 0)
+            def _():
+                pltpu.make_async_copy(tiles_out.at[udst_at(i32(0), j)],
+                                      dstbuf.at[slot],
+                                      sem_di.at[slot]).start()
+
+            return c
+
+        lax.fori_loop(0, jnp.minimum(nup, i32(uch)), d_in0, 0)
+
+        # ---- batched diagonal step ------------------------------------
+        def d_wait(m, c):
+            pltpu.make_async_copy(tiles_out.at[gdiag[m]], fb3.at[m],
+                                  sem_diag.at[m]).wait()
+            return c
+
+        lax.fori_loop(0, gs, d_wait, 0)
+        f3 = lax.fori_loop(
+            0, nb, lambda k, f: _scan_step_3d(f, k, g=gmax, nb=nb,
+                                              tol=tol),
+            fb3[:, :, :])
+        fb3[:, :, :] = _lu_finalize_3d(f3, g=gmax, nb=nb, tol=tol)
+
+        # per-member Newton inverses + writebacks (independent chains
+        # issued back-to-back so their MXU dots pipeline)
+        def newton_m(m, c):
+            li_m, ui_m = _newton_inverses(fb3[m], nb=nb, tol=tol)
+            linv3[m] = li_m
+            uinv3[m] = ui_m
+            pltpu.make_async_copy(fb3.at[m], tiles_out.at[gdiag[m]],
+                                  sem_dio.at[m]).start()
+            pltpu.make_async_copy(linv3.at[m],
+                                  invs_out.at[glev[m], 0],
+                                  sem_inv.at[m, 0]).start()
+            pltpu.make_async_copy(uinv3.at[m],
+                                  invs_out.at[glev[m], 1],
+                                  sem_inv.at[m, 1]).start()
+            return c
+
+        lax.fori_loop(0, gs, newton_m, 0)
+
+        # ---- panel solves, per member, chunked ------------------------
+        def _pan_copy(i, base, outward, is_l):
+            if is_l:
+                src = lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :]
+                dst = tiles_out.at[lid_row[base + i]]
+                sem = (sem_lo if outward else sem_l).at[i]
+            else:
+                src = upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)]
+                dst = tiles_out.at[uid_row[base + i]]
+                sem = (sem_uo if outward else sem_u).at[i]
+            return (pltpu.make_async_copy(src, dst, sem) if outward
+                    else pltpu.make_async_copy(dst, src, sem))
+
+        def member_panels(m, c):
+            l0 = gloff[m]
+            nl_m = gloff[m + 1] - l0
+            u0 = guoff[m]
+            nu_m = guoff[m + 1] - u0
+            nlc = lax.div(nl_m + i32(pch - 1), i32(pch))
+            nuc = lax.div(nu_m + i32(pch - 1), i32(pch))
+
+            def l_chunk(lc, c):
+                base = l0 + lc * pch
+                cnt = jnp.minimum(nl_m - lc * pch, pch)
+                lax.fori_loop(0, cnt, lambda i, c: (
+                    _pan_copy(i, base, False, True).start(), c)[1], 0)
+                lax.fori_loop(0, cnt, lambda i, c: (
+                    _pan_copy(i, base, False, True).wait(), c)[1], 0)
+                lpan[:, :] = jnp.dot(lpan[:, :], uinv3[m],
+                                     preferred_element_type=dt,
+                                     precision=hi)
+                lax.fori_loop(0, cnt, lambda i, c: (
+                    _pan_copy(i, base, True, True).start(), c)[1], 0)
+                # waits stay inline: the buffer is reused by the next
+                # chunk/member and the update stream reloads from HBM
+                lax.fori_loop(0, cnt, lambda i, c: (
+                    _pan_copy(i, base, True, True).wait(), c)[1], 0)
+                return c
+
+            lax.fori_loop(0, nlc, l_chunk, 0)
+
+            def u_chunk(uc, c):
+                base = u0 + uc * pch
+                cnt = jnp.minimum(nu_m - uc * pch, pch)
+                lax.fori_loop(0, cnt, lambda i, c: (
+                    _pan_copy(i, base, False, False).start(), c)[1], 0)
+                lax.fori_loop(0, cnt, lambda i, c: (
+                    _pan_copy(i, base, False, False).wait(), c)[1], 0)
+                upan[:, :] = jnp.dot(linv3[m], upan[:, :],
+                                     preferred_element_type=dt,
+                                     precision=hi)
+                lax.fori_loop(0, cnt, lambda i, c: (
+                    _pan_copy(i, base, True, False).start(), c)[1], 0)
+                lax.fori_loop(0, cnt, lambda i, c: (
+                    _pan_copy(i, base, True, False).wait(), c)[1], 0)
+                return c
+
+            lax.fori_loop(0, nuc, u_chunk, 0)
+            return c
+
+        lax.fori_loop(0, gs, member_panels, 0)
+
+        # ---- Schur updates, chunks of ``uch`` -------------------------
+        # cur0 forces the first (uc, lc) reload: per-member panel
+        # chunking does not align with concatenated-index chunking, so
+        # nothing is known-resident here.
+        cur0 = (i32(-1), i32(-1), i32(-1))
+
+        def chunk(c, cur):
+            base = c * uch
+            cnt = jnp.minimum(nup - base, uch)
+
+            @pl.when(c > 0)
+            def _():
+                for tab, dst_s, slot in ((udst_hbm, udst_c, 0),
+                                         (udl_hbm, udl_c, 1),
+                                         (udu_hbm, udu_c, 2)):
+                    pltpu.make_async_copy(tab.at[g, c], dst_s,
+                                          sem_utab.at[slot]).start()
+                for tab, dst_s, slot in ((udst_hbm, udst_c, 0),
+                                         (udl_hbm, udl_c, 1),
+                                         (udu_hbm, udu_c, 2)):
+                    pltpu.make_async_copy(tab.at[g, c], dst_s,
+                                          sem_utab.at[slot]).wait()
+
+                def d_in(j, cc):
+                    _, slot, doload, _ = _unpack(udl_at(c, j))
+
+                    @pl.when(doload > 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            tiles_out.at[udst_at(c, j)],
+                            dstbuf.at[slot], sem_di.at[slot]).start()
+
+                    return cc
+
+                lax.fori_loop(0, cnt, d_in, 0)
+
+            def d_compute(j, cur):
+                cur_uc, cur_lc, cur_l = cur
+                li, slot, doload, dowrite = _unpack(udl_at(c, j))
+
+                @pl.when(doload > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        tiles_out.at[udst_at(c, j)],
+                        dstbuf.at[slot], sem_di.at[slot]).wait()
+
+                uj = udu_at(c, j)
+                ucj = lax.div(uj, i32(pch))
+                lcj = lax.div(li, i32(pch))
+                uc_ch = ucj != cur_uc
+                lc_ch = lcj != cur_lc
+
+                @pl.when(uc_ch)
+                def _():
+                    ub = ucj * pch
+                    ucnt = jnp.minimum(nu_tot - ub, pch)
+                    lax.fori_loop(0, ucnt, lambda i, cc: (
+                        _pan_copy(i, ub, False, False).start(),
+                        cc)[1], 0)
+                    lax.fori_loop(0, ucnt, lambda i, cc: (
+                        _pan_copy(i, ub, False, False).wait(),
+                        cc)[1], 0)
+
+                @pl.when(lc_ch)
+                def _():
+                    lb = lcj * pch
+                    lcnt = jnp.minimum(nl_tot - lb, pch)
+                    lax.fori_loop(0, lcnt, lambda i, cc: (
+                        _pan_copy(i, lb, False, True).start(),
+                        cc)[1], 0)
+                    lax.fori_loop(0, lcnt, lambda i, cc: (
+                        _pan_copy(i, lb, False, True).wait(),
+                        cc)[1], 0)
+
+                recompute = (li != cur_l) | uc_ch | lc_ch
+                ucnt_here = jnp.minimum(nu_tot - ucj * pch, i32(pch))
+                half = pch // 2
+                lsl = pl.ds(pl.multiple_of((li - lcj * pch) * nb, nb),
+                            nb)
+                full_pred = (recompute & (ucnt_here > half)
+                             if half >= 1 else recompute)
+
+                if half >= 1:
+                    @pl.when(recompute & (ucnt_here <= half))
+                    def _():
+                        prodrow[:, : half * nb] = jnp.dot(
+                            lpan[lsl, :], upan[:, : half * nb],
+                            preferred_element_type=dt, precision=hi)
+
+                @pl.when(full_pred)
+                def _():
+                    prodrow[:, :] = jnp.dot(
+                        lpan[lsl, :], upan[:, :],
+                        preferred_element_type=dt, precision=hi)
+
+                usl = pl.ds(pl.multiple_of((uj - ucj * pch) * nb, nb),
+                            nb)
+                dstbuf[slot] = dstbuf[slot] - prodrow[:, usl]
+
+                @pl.when(dowrite > 0)
+                def _():
+                    pltpu.make_async_copy(dstbuf.at[slot],
+                                          tiles_out.at[udst_at(c, j)],
+                                          sem_do.at[slot]).start()
+
+                return (ucj, lcj, li)
+
+            cur = lax.fori_loop(0, cnt, d_compute, cur)
+
+            # earlier chunks must land before their slots are reused;
+            # the LAST chunk's waits defer to the group barrier
+            @pl.when(c + 1 < nchunks)
+            def _():
+                def d_wait2(j, cc):
+                    _, slot, _, dowrite = _unpack(udl_at(c, j))
+
+                    @pl.when(dowrite > 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            dstbuf.at[slot],
+                            tiles_out.at[udst_at(c, j)],
+                            sem_do.at[slot]).wait()
+
+                    return cc
+
+                lax.fori_loop(0, cnt, d_wait2, 0)
+
+            return cur
+
+        nchunks = lax.div(nup + i32(uch - 1), i32(uch))
+        lax.fori_loop(0, nchunks, chunk, cur0)
+
+        # ---- group barrier --------------------------------------------
+        def bar_m(m, c):
+            pltpu.make_async_copy(fb3.at[m], tiles_out.at[gdiag[m]],
+                                  sem_dio.at[m]).wait()
+            pltpu.make_async_copy(linv3.at[m],
+                                  invs_out.at[glev[m], 0],
+                                  sem_inv.at[m, 0]).wait()
+            pltpu.make_async_copy(uinv3.at[m],
+                                  invs_out.at[glev[m], 1],
+                                  sem_inv.at[m, 1]).wait()
+            return c
+
+        lax.fori_loop(0, gs, bar_m, 0)
+
+        @pl.when(nup > 0)
+        def _():
+            c_last = jnp.maximum(nchunks - 1, i32(0))
+            last = nup - c_last * i32(uch)
+
+            def d_wait3(j, cc):
+                _, slot, _, dowrite = _unpack(udl_at(c_last, j))
+
+                @pl.when(dowrite > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        dstbuf.at[slot],
+                        tiles_out.at[udst_at(c_last, j)],
+                        sem_do.at[slot]).wait()
+
+                return cc
+
+            lax.fori_loop(0, last, d_wait3, 0)
+
+        # next group's row has been in flight since body start: wait it
+        # and start its diag DMAs (every write they read landed above)
+        @pl.when(g + 1 < i32(ng))
+        def _():
+            _row_copy(nxt, 1 - sl).wait()
+            _diag_prefetch(1 - sl, gs_tab[nxt])
+
+        return carry
+
+    lax.fori_loop(0, ng, group, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "tol", "ng", "gmax", "pch",
+                                    "uch", "bl"),
+                   donate_argnums=(0,))
+def mega_factorize_groups(tiles, gs_tab, nup_tab, gdiag_tab, glev_tab,
+                          gloff_tab, guoff_tab, lid_tab, uid_tab,
+                          udst_tab, udl_tab, udu_tab,
+                          *, nb, tol, ng, gmax, pch, uch, bl):
+    """Entire numeric factorization in ONE Pallas launch, one BATCHED
+    super-level group per loop iteration (see Schedule.group_mega_tables
+    for the table format and the section comment for the design).
+
+    tiles: [num_tiles+1, nb, nb] (donated; factored in place).
+    Returns (tiles, invs[bl, 2, nb, nb]) — the inverse store is indexed
+    by ORIGINAL level id (glev_tab), so the solve kernels work
+    unchanged."""
+    dt = tiles.dtype
+    row_w = udst_tab.shape[-1]
+    lid_w = lid_tab.shape[-1]
+    uid_w = uid_tab.shape[-1]
+    comb_w = lid_w + uid_w + 2 * gmax + 2 * (gmax + 1) + 3 * row_w
+    comb_pad = -(-comb_w // 1024) * 1024
+    comb_tab = jnp.concatenate(
+        [lid_tab, uid_tab, gdiag_tab, glev_tab, gloff_tab, guoff_tab,
+         udst_tab[:, 0], udl_tab[:, 0], udu_tab[:, 0],
+         jnp.zeros((lid_tab.shape[0], comb_pad - comb_w), jnp.int32)],
+        axis=1).reshape(-1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # comb_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),   # udst_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),   # udl_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),   # udu_tab
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tiles
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((gmax, nb, nb), dt),         # fb3
+            pltpu.VMEM((gmax, nb, nb), dt),         # linv3
+            pltpu.VMEM((gmax, nb, nb), dt),         # uinv3
+            pltpu.VMEM((pch * nb, nb), dt),         # lpan
+            pltpu.VMEM((nb, pch * nb), dt),         # upan
+            pltpu.VMEM((nb, pch * nb), dt),         # prodrow
+            pltpu.VMEM((uch, nb, nb), dt),          # dstbuf
+            pltpu.SMEM((2 * comb_pad,), jnp.int32),  # comb_s
+            pltpu.SMEM((row_w,), jnp.int32),        # udst_c
+            pltpu.SMEM((row_w,), jnp.int32),        # udl_c
+            pltpu.SMEM((row_w,), jnp.int32),        # udu_c
+            pltpu.SemaphoreType.DMA((gmax,)),       # sem_diag (in)
+            pltpu.SemaphoreType.DMA((gmax,)),       # sem_dio (out)
+            pltpu.SemaphoreType.DMA((gmax, 2)),     # sem_inv
+            pltpu.SemaphoreType.DMA((pch,)),        # sem_l
+            pltpu.SemaphoreType.DMA((pch,)),        # sem_u
+            pltpu.SemaphoreType.DMA((pch,)),        # sem_lo
+            pltpu.SemaphoreType.DMA((pch,)),        # sem_uo
+            pltpu.SemaphoreType.DMA((uch,)),        # sem_di
+            pltpu.SemaphoreType.DMA((uch,)),        # sem_do
+            pltpu.SemaphoreType.DMA((2,)),          # sem_tab
+            pltpu.SemaphoreType.DMA((3,)),          # sem_utab
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_group_kernel, nb=nb, tol=tol, ng=ng,
+                          gmax=gmax, pch=pch, uch=uch,
+                          comb_lw=lid_w, comb_uw=uid_w, comb_rw=row_w),
+        out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
+                   jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
+        grid_spec=grid_spec,
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(gs_tab, nup_tab, comb_tab, udst_tab, udl_tab, udu_tab, tiles)
+
+
+# ---------------------------------------------------------------------------
 # Whole-solve mega-kernel (SpTRSV)
 # ---------------------------------------------------------------------------
 #

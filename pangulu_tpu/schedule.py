@@ -228,6 +228,121 @@ class Schedule:
             out["lev_tab"] = order
         return out
 
+    def group_mega_tables(self, scratch_tile: int, uch: int = 64,
+                          max_pch: int = 32, gmax: int = 16):
+        """Index tables for the BATCHED-GROUP mega kernel
+        (kernels_pallas.mega_factorize_groups): one kernel iteration
+        processes a whole super-level chunk of ``G <= gmax``
+        independent columns — G diagonal LUs advance as ONE batched 3D
+        rank-1 scan, panels solve per member against that member's
+        inverses, and the group's Schur updates run as one stream.
+        This amortizes the per-level fixed cost (DMA waits, scan
+        latency, barriers — measured ~35 us/level, 76%% of the bench
+        kernel) across G columns; the static-schedule counterpart of
+        the reference's concurrent ready-GETRF seeding
+        (pangulu_numeric.c:1054-1068).
+
+        Member panels are CONCATENATED per group (offset tables
+        ``gloff/guoff [ngroups, gmax+1]``); Schur-update ``udl/udu``
+        index the concatenated arrays.  Updates from different members
+        may hit the SAME destination tile: within a chunk they share a
+        dstbuf slot (packed into udl bits 20-27) with load/write flags
+        (bits 28/29) so each dst is loaded once, accumulated in VMEM,
+        and written once — replacing the per-level dst-uniqueness
+        invariant the chain kernel relies on.
+
+        Returns a dict of tables plus geometry (pch, uch, ngroups,
+        widths)."""
+        supers = self.superlevels()
+        groups: list[list[int]] = []
+        for mem in supers:
+            for s in range(0, len(mem), gmax):
+                groups.append(mem[s:s + gmax])
+        ng = len(groups)
+        nl_tot = max(max((sum(len(self.levels[k].lpanel) for k in g)
+                          for g in groups), default=1), 1)
+        nu_tot = max(max((sum(len(self.levels[k].upanel) for k in g)
+                          for g in groups), default=1), 1)
+        nup_tot = max(max((sum(len(self.levels[k].upd_dst) for k in g)
+                           for g in groups), default=1), 1)
+        pch = min(max(bucket(nl_tot), bucket(nu_tot)), max_pch)
+        nl_pan = -(-max(bucket(nl_tot), 1) // 128) * 128
+        nu_pan = -(-max(bucket(nu_tot), 1) // 128) * 128
+        nchunks = max(1, -(-nup_tot // uch))
+        row_w = max(uch, 128)
+
+        gs = np.zeros(ng, np.int32)
+        gdiag = np.full((ng, gmax), scratch_tile, np.int32)
+        glev = np.zeros((ng, gmax), np.int32)
+        gloff = np.zeros((ng, gmax + 1), np.int32)
+        guoff = np.zeros((ng, gmax + 1), np.int32)
+        nup_tab = np.zeros(ng, np.int32)
+        lid = np.full((ng, nl_pan), scratch_tile, np.int32)
+        uid = np.full((ng, nu_pan), scratch_tile, np.int32)
+        udst = np.full((ng, nchunks, row_w), scratch_tile, np.int32)
+        udl = np.zeros((ng, nchunks, row_w), np.int32)
+        udu = np.zeros((ng, nchunks, row_w), np.int32)
+        for gi, mem in enumerate(groups):
+            gs[gi] = len(mem)
+            ol = ou = 0
+            dsts, uls, uus = [], [], []
+            for m, k in enumerate(mem):
+                lev = self.levels[k]
+                gdiag[gi, m] = lev.diag
+                glev[gi, m] = k
+                gloff[gi, m] = ol
+                guoff[gi, m] = ou
+                nlk, nuk = len(lev.lpanel), len(lev.upanel)
+                lid[gi, ol:ol + nlk] = lev.lpanel
+                uid[gi, ou:ou + nuk] = lev.upanel
+                dsts.append(lev.upd_dst)
+                uls.append(lev.upd_l + ol)
+                uus.append(lev.upd_u + ou)
+                ol += nlk
+                ou += nuk
+            gloff[gi, len(mem):] = ol
+            guoff[gi, len(mem):] = ou
+            dsts = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+            uls = np.concatenate(uls) if uls else np.empty(0, np.int64)
+            uus = np.concatenate(uus) if uus else np.empty(0, np.int64)
+            nup_tab[gi] = len(dsts)
+            order = np.lexsort((uus, uls, uls // pch, uus // pch))
+            s_dst, s_l, s_u = dsts[order], uls[order], uus[order]
+            for c in range(0, int(nup_tab[gi]), uch):
+                cc = c // uch
+                cnt = min(uch, int(nup_tab[gi]) - c)
+                cd = s_dst[c:c + cnt]
+                # slot assignment: duplicates of a dst within the
+                # chunk accumulate in one dstbuf slot
+                slot = np.zeros(cnt, np.int64)
+                load = np.zeros(cnt, np.int64)
+                write = np.zeros(cnt, np.int64)
+                seen: dict[int, int] = {}
+                last: dict[int, int] = {}
+                nxt = 0
+                for j, d in enumerate(cd):
+                    d = int(d)
+                    if d in seen:
+                        slot[j] = seen[d]
+                    else:
+                        seen[d] = nxt
+                        slot[j] = nxt
+                        load[j] = 1
+                        nxt += 1
+                    last[d] = j
+                for j in last.values():
+                    write[j] = 1
+                udst[gi, cc, :cnt] = cd
+                udl[gi, cc, :cnt] = (s_l[c:c + cnt] | (slot << 20)
+                                     | (load << 28) | (write << 29))
+                udu[gi, cc, :cnt] = s_u[c:c + cnt]
+        return dict(gs_tab=gs, gdiag_tab=gdiag, glev_tab=glev,
+                    gloff_tab=gloff, guoff_tab=guoff, nup_tab=nup_tab,
+                    lid_tab=lid, uid_tab=uid,
+                    udst_tab=udst, udl_tab=udl, udu_tab=udu,
+                    npan_l=nl_pan, npan_u=nu_pan, pch=pch, uch=uch,
+                    ngroups=ng, gmax=gmax)
+
     def mega_solve_tables(self, scratch_tile: int):
         """Index tables for the single-launch Pallas SpTRSV
         (kernels_pallas.mega_solve): per level, the L panel (column k

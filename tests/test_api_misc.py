@@ -61,3 +61,33 @@ def test_init_options_tol_is_honored():
     assert not np.allclose(t1, t2)
     finalize(h1)
     finalize(h2)
+
+
+def test_r64_init_enables_x64_outside_tests():
+    """Library surface: requesting r64 in a process where x64 is OFF
+    must not silently compute in f32 (init enables jax_enable_x64, as
+    the CLI does).  Run in a subprocess because the suite itself forces
+    x64 on."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "assert not jax.config.jax_enable_x64\n"
+        "from pangulu_tpu import Solver, InitOptions\n"
+        "from pangulu_tpu.models import trefethen\n"
+        "from pangulu_tpu.io.mmio import generated_rhs\n"
+        "import numpy as np\n"
+        "a = trefethen(16)\n"
+        "x = Solver(a, InitOptions(nb=8, dtype='r64'))"
+        ".solve(generated_rhs(a))\n"
+        "b = np.asarray(generated_rhs(a), np.float64)\n"
+        "r = a.to_scipy() @ np.asarray(x, np.float64) - b\n"
+        "res = np.linalg.norm(r) / np.linalg.norm(b)\n"
+        "assert res < 1e-12, f'silent f32 downcast: residual {res:.2e}'\n"
+    )
+    env = dict(__import__("os").environ)
+    env.pop("JAX_ENABLE_X64", None)
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]

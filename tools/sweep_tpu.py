@@ -113,14 +113,17 @@ for name, a, opts in extra:
 # super-level pipelined mega path (chain-ahead) on chip: aligned ND
 # gives same-depth groups; flags must be active and residual tiny.
 # (Off by default — measured no overlap on v5e; the sweep still
-# exercises the code path for correctness.)
+# exercises the code path for correctness.)  PANGULU_TPU_GROUP=0 pins
+# the CHAIN kernel (auto would pick the batched-group engine here).
 import os  # noqa: E402
 os.environ["PANGULU_TPU_SUPERLEVEL"] = "1"
+os.environ["PANGULU_TPU_GROUP"] = "0"
 a = poisson3d(20)
 h = init(a, InitOptions(nb=128, dtype="r32", ordering="nd",
                         symbolic_mode="block"))
 gstrf(h)
 del os.environ["PANGULU_TPU_SUPERLEVEL"]
+del os.environ["PANGULU_TPU_GROUP"]
 nflags = int(h._factorizer._mega.get("flag_tab", np.zeros(1)).sum()) \
     if h._factorizer._mega else 0
 b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
@@ -129,6 +132,23 @@ res = residual_norm(a.to_scipy(), x, b)
 print(f"{'superlevel nd+mega':22s} n={a.n:7d} chains-ahead={nflags:5d} "
       f"residual={res:.2e} "
       f"{'OK' if res < 1e-4 and nflags > 0 else 'FAIL'}", flush=True)
+finalize(h)
+
+# batched-group mega kernel (super-level groups: G diag chains per
+# iteration, slot-shared Schur destinations) — auto-dispatch must pick
+# it on a compressing ND schedule and match the chain kernel's answer.
+a = poisson3d(20)
+h = init(a, InitOptions(nb=128, dtype="r32", ordering="nd",
+                        symbolic_mode="block"))
+gstrf(h)
+disp = h._factorizer.dispatch
+b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
+x = gstrs(h, b)
+res = residual_norm(a.to_scipy(), x, b)
+print(f"{'mega_group nd p3d(20)':22s} n={a.n:7d} dispatch={disp:10s} "
+      f"residual={res:.2e} "
+      f"{'OK' if res < 1e-4 and disp == 'mega_group' else 'FAIL'}",
+      flush=True)
 finalize(h)
 
 # nb=256 (the reference default, pangulu.c:52-56) through the mega
