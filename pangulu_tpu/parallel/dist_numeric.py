@@ -156,9 +156,9 @@ class DistributedLU:
             self._segments = None
         else:
             self._segments = [
-                (kvec, self._put_tables(tables), self._get_step(
-                    (len(kvec),) + sig))
-                for kvec, sig, tables in self._prepare_levels()]
+                (kmat, mems, self._put_tables(tables), self._get_step(
+                    (kmat.shape[0],) + sig))
+                for kmat, mems, sig, tables in self._prepare_levels()]
 
     def _put_tables(self, tables: dict) -> dict:
         """Ship the [p, q, ...] index tables to their owning devices
@@ -172,12 +172,27 @@ class DistributedLU:
             for k, v in tables.items()
         }
 
-    # ---- host-side per-level index tables ------------------------------
+    # ---- host-side per-group index tables ------------------------------
+
+    # Super-level group width cap for the distributed engine: bounds
+    # the padded group-concatenated panel tables (the batched inverses
+    # are [G, nb, nb] on every device).  Chain schedules produce
+    # singleton groups and degenerate to per-level stepping.
+    DIST_GROUP_GMAX = 16
 
     def _prepare_levels(self):
         """Vectorized (pure numpy — no per-update Python loops; the
-        bench problem has millions of updates) segment table builder.
-        Yields (kvec, (NL, NU, NUP), tables) per segment."""
+        bench problem has millions of updates) segment table builder in
+        SUPER-LEVEL GROUP form: one loop iteration factors a whole
+        group of independent same-depth columns — ONE diag psum + two
+        panel psums per GROUP instead of per level (collective-latency
+        amortization; the multi-chip analogue of the batched-group mega
+        kernel and of the reference's concurrent ready-GETRF seeding,
+        pangulu_numeric.c:1054-1068).  Member panels are concatenated
+        per group; Schur updates may share destinations across members
+        and are applied with scatter-ADD, which accumulates duplicates
+        exactly.  Yields (kmat, mem_tabs, (G, NL, NU, NUP), tables)
+        per segment."""
         from pangulu_tpu.schedule import bucket, group_runs
 
         lay, p, q = self.layout, self.p, self.q
@@ -190,22 +205,49 @@ class DistributedLU:
         nu_k = np.array([len(l.upanel) for l in levels], dtype=np.int64)
         nup_k = np.array([len(l.upd_dst) for l in levels], dtype=np.int64)
 
+        gmax = max(int(self.DIST_GROUP_GMAX), 1)
+        groups = [mem[s:s + gmax]
+                  for mem in self.schedule.superlevels()
+                  for s in range(0, len(mem), gmax)]
+        ngr = len(groups)
+        gsize = np.array([len(g) for g in groups], dtype=np.int64)
+        lev_grp = np.zeros(bl, dtype=np.int64)
+        lev_mem = np.zeros(bl, dtype=np.int64)
+        l_woff = np.zeros(bl, dtype=np.int64)  # panel offset in group
+        u_woff = np.zeros(bl, dtype=np.int64)
+        gnl = np.zeros(ngr, dtype=np.int64)    # group panel totals
+        gnu = np.zeros(ngr, dtype=np.int64)
+        for gi, g in enumerate(groups):
+            ol = ou = 0
+            for mi, k in enumerate(g):
+                lev_grp[k] = gi
+                lev_mem[k] = mi
+                l_woff[k] = ol
+                u_woff[k] = ou
+                ol += int(nl_k[k])
+                ou += int(nu_k[k])
+            gnl[gi], gnu[gi] = ol, ou
+
         def _cat(arrs, dtype=np.int64):
             arrs = [np.asarray(a, dtype=dtype) for a in arrs if len(a)]
             return (np.concatenate(arrs) if arrs
                     else np.empty(0, dtype=dtype))
 
-        # updates, flattened over every level
+        # updates, flattened over every level; panel indices become
+        # positions in the GROUP-concatenated panel arrays
         u_lev = np.repeat(np.arange(bl), nup_k)
         u_dst = _cat([l.upd_dst for l in levels])
         u_l = _cat([l.upd_l for l in levels])
         u_u = _cat([l.upd_u for l in levels])
         u_r = lay.tile_owner_r[u_dst] if len(u_dst) else u_dst
         u_c = lay.tile_owner_c[u_dst] if len(u_dst) else u_dst
-        # per-(level, device) slot position: stable-sort by group key,
-        # then index-within-group
         if len(u_dst):
-            key = (u_lev * p + u_r) * q + u_c
+            u_grp = lev_grp[u_lev]
+            u_lg = u_l + l_woff[u_lev]
+            u_ug = u_u + u_woff[u_lev]
+            # per-(group, device) slot position: stable-sort by key,
+            # then index-within-run
+            key = (u_grp * p + u_r) * q + u_c
             order = np.argsort(key, kind="stable")
             ks = key[order]
             idx = np.arange(len(ks))
@@ -213,30 +255,35 @@ class DistributedLU:
                 np.where(np.r_[True, ks[1:] != ks[:-1]], idx, 0))
             pos = np.empty_like(idx)
             pos[order] = idx - grp_start
-            counts = np.bincount(key, minlength=bl * p * q)
-            dev_nupd_k = counts.reshape(bl, p, q).max(axis=(1, 2))
+            counts = np.bincount(key, minlength=ngr * p * q)
+            dev_nupd_g = counts.reshape(ngr, p, q).max(axis=(1, 2))
         else:
-            pos = u_dst
-            dev_nupd_k = np.zeros(bl, dtype=np.int64)
+            u_grp = u_lg = u_ug = pos = u_dst
+            dev_nupd_g = np.zeros(ngr, dtype=np.int64)
 
-        # panels, flattened (position within the level's panel list)
+        # panels, flattened (position within the GROUP's concat list)
         l_lev = np.repeat(np.arange(bl), nl_k)
         l_tid = _cat([l.lpanel for l in levels])
         l_bi = _cat([l.lrows for l in levels])
         l_pos = (np.arange(len(l_lev))
                  - np.repeat(np.r_[0, np.cumsum(nl_k)[:-1]], nl_k))
+        l_grp = lev_grp[l_lev]
+        l_gpos = l_pos + l_woff[l_lev]
         g_lev = np.repeat(np.arange(bl), nu_k)
         g_tid = _cat([l.upanel for l in levels])
         g_bj = _cat([l.ucols for l in levels])
         g_pos = (np.arange(len(g_lev))
                  - np.repeat(np.r_[0, np.cumsum(nu_k)[:-1]], nu_k))
+        g_grp = lev_grp[g_lev]
+        g_gpos = g_pos + u_woff[g_lev]
 
-        sig = [(bucket(max(int(nl_k[k]), 1)),
-                bucket(max(int(nu_k[k]), 1)),
-                bucket(max(int(dev_nupd_k[k]), 1)))
-               for k in range(bl)]
+        sig = [(bucket(int(gsize[gi])),
+                bucket(max(int(gnl[gi]), 1)),
+                bucket(max(int(gnu[gi]), 1)),
+                bucket(max(int(dev_nupd_g[gi]), 1)))
+               for gi in range(ngr)]
         out = []
-        # Bucketed signatures GROUP the levels into runs (stable
+        # Bucketed signatures GROUP the groups into runs (stable
         # segmentation), but each segment's tables are sized to its
         # EXACT maxima — the psum'd panel buffers are what actually
         # crosses the interconnect, and power-of-two padding shipped up
@@ -246,9 +293,9 @@ class DistributedLU:
         item = 4
         real_b = padded_b = 0
         for s0, s1, _sig in runs:
-            w_nl = max(int(nl_k[s0:s1].max(initial=0)), 1)
-            w_nu = max(int(nu_k[s0:s1].max(initial=0)), 1)
-            real_b += int((nl_k[s0:s1].sum() + nu_k[s0:s1].sum())
+            w_nl = max(int(gnl[s0:s1].max(initial=0)), 1)
+            w_nu = max(int(gnu[s0:s1].max(initial=0)), 1)
+            real_b += int((gnl[s0:s1].sum() + gnu[s0:s1].sum())
                           * nb * nb * item)
             padded_b += (s1 - s0) * (w_nl + w_nu) * nb * nb * item
         if real_b:
@@ -256,50 +303,59 @@ class DistributedLU:
 
             get_logger().info(
                 "dist panel exchange: %.1f MiB real, %.1f MiB shipped "
-                "(%.2fx padding) over %d segments",
+                "(%.2fx padding) over %d segments, %d level groups "
+                "(%d levels)",
                 real_b / 2 ** 20, padded_b / 2 ** 20,
-                padded_b / real_b, len(runs))
+                padded_b / real_b, len(runs), ngr, bl)
             if getattr(self, "perf", None) is not None:
                 self.perf.kernels["dist_panel_mib"] = round(
                     padded_b / 2 ** 20, 2)
+                self.perf.kernels["dist_groups"] = ngr
         for s0, s1, _sig in runs:
-            NL = max(int(nl_k[s0:s1].max(initial=0)), 1)
-            NU = max(int(nu_k[s0:s1].max(initial=0)), 1)
-            NUP = max(int(dev_nupd_k[s0:s1].max(initial=0)), 1)
+            G = max(int(gsize[s0:s1].max(initial=0)), 1)
+            NL = max(int(gnl[s0:s1].max(initial=0)), 1)
+            NU = max(int(gnu[s0:s1].max(initial=0)), 1)
+            NUP = max(int(dev_nupd_g[s0:s1].max(initial=0)), 1)
             seg = s1 - s0
-            kvec = np.arange(s0, s1, dtype=np.int32)
-            diag_slot = np.full((p, q, seg), scratch, dtype=np.int32)
-            karr = np.arange(s0, s1)
-            diag = np.array([levels[k].diag for k in karr])
-            diag_slot[karr % p, karr % q, karr - s0] = slot[diag]
+            kmat = np.full((seg, G), -1, dtype=np.int32)
+            diag_slot = np.full((p, q, seg, G), scratch, dtype=np.int32)
+            for gi in range(s0, s1):
+                for mi, k in enumerate(groups[gi]):
+                    kmat[gi - s0, mi] = k
+                    diag_slot[k % p, k % q, gi - s0, mi] = \
+                        slot[levels[k].diag]
 
+            l_mem = np.zeros((seg, NL), dtype=np.int32)
+            u_mem = np.zeros((seg, NU), dtype=np.int32)
             l_slot = np.full((p, q, seg, NL), scratch, dtype=np.int32)
             l_mask = np.zeros((p, q, seg, NL), dtype=bool)
-            m = (l_lev >= s0) & (l_lev < s1)
-            l_slot[l_bi[m] % p, l_lev[m] % q, l_lev[m] - s0,
-                   l_pos[m]] = slot[l_tid[m]]
-            l_mask[l_bi[m] % p, l_lev[m] % q, l_lev[m] - s0,
-                   l_pos[m]] = True
+            m = (l_grp >= s0) & (l_grp < s1)
+            l_slot[l_bi[m] % p, l_lev[m] % q, l_grp[m] - s0,
+                   l_gpos[m]] = slot[l_tid[m]]
+            l_mask[l_bi[m] % p, l_lev[m] % q, l_grp[m] - s0,
+                   l_gpos[m]] = True
+            l_mem[l_grp[m] - s0, l_gpos[m]] = lev_mem[l_lev[m]]
 
             u_slot = np.full((p, q, seg, NU), scratch, dtype=np.int32)
             u_mask = np.zeros((p, q, seg, NU), dtype=bool)
-            m = (g_lev >= s0) & (g_lev < s1)
-            u_slot[g_lev[m] % p, g_bj[m] % q, g_lev[m] - s0,
-                   g_pos[m]] = slot[g_tid[m]]
-            u_mask[g_lev[m] % p, g_bj[m] % q, g_lev[m] - s0,
-                   g_pos[m]] = True
+            m = (g_grp >= s0) & (g_grp < s1)
+            u_slot[g_lev[m] % p, g_bj[m] % q, g_grp[m] - s0,
+                   g_gpos[m]] = slot[g_tid[m]]
+            u_mask[g_lev[m] % p, g_bj[m] % q, g_grp[m] - s0,
+                   g_gpos[m]] = True
+            u_mem[g_grp[m] - s0, g_gpos[m]] = lev_mem[g_lev[m]]
 
             upd_dst = np.full((p, q, seg, NUP), scratch, dtype=np.int32)
             upd_l = np.zeros((p, q, seg, NUP), dtype=np.int32)
             upd_u = np.zeros((p, q, seg, NUP), dtype=np.int32)
             upd_mask = np.zeros((p, q, seg, NUP), dtype=bool)
-            m = (u_lev >= s0) & (u_lev < s1)
-            upd_dst[u_r[m], u_c[m], u_lev[m] - s0, pos[m]] = slot[u_dst[m]]
-            upd_l[u_r[m], u_c[m], u_lev[m] - s0, pos[m]] = u_l[m]
-            upd_u[u_r[m], u_c[m], u_lev[m] - s0, pos[m]] = u_u[m]
-            upd_mask[u_r[m], u_c[m], u_lev[m] - s0, pos[m]] = True
+            m = (u_grp >= s0) & (u_grp < s1)
+            upd_dst[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = slot[u_dst[m]]
+            upd_l[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = u_lg[m]
+            upd_u[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = u_ug[m]
+            upd_mask[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = True
 
-            out.append((kvec, (NL, NU, NUP), dict(
+            out.append((kmat, (l_mem, u_mem), (G, NL, NU, NUP), dict(
                 diag_slot=diag_slot, l_slot=l_slot, l_mask=l_mask,
                 u_slot=u_slot, u_mask=u_mask, upd_dst=upd_dst,
                 upd_l=upd_l, upd_u=upd_u, upd_mask=upd_mask)))
@@ -308,7 +364,13 @@ class DistributedLU:
     # ---- device step ----------------------------------------------------
 
     def _get_step(self, shape_key):
-        """Jitted per-segment step (cached per table signature)."""
+        """Jitted per-segment step (cached per table signature).  One
+        fori iteration processes one GROUP of independent same-depth
+        levels: a single [G,nb,nb] diag psum, batched GETRF+inverses on
+        every device, one psum per panel direction for the group's
+        concatenated panels, and one scatter-ADD of all the group's
+        Schur updates (duplicate destinations across members accumulate
+        exactly — addition commutes)."""
         cache = getattr(self, "_step_cache", None)
         if cache is None:
             cache = self._step_cache = {}
@@ -319,11 +381,12 @@ class DistributedLU:
         mesh = self.mesh
         seg_len = shape_key[0]
 
-        def run(tiles, kvec, diag_slot, l_slot, l_mask, u_slot, u_mask,
-                upd_dst, upd_l, upd_u, upd_mask):
+        def run(tiles, kmat, l_mem, u_mem, diag_slot, l_slot, l_mask,
+                u_slot, u_mask, upd_dst, upd_l, upd_u, upd_mask):
             # shapes inside shard_map: tiles [1,1,L,nb,nb]; tables
-            # [1,1,seg,...]; kvec [seg] replicated — drop the unit mesh
-            # dims, loop the segment's levels on-device.
+            # [1,1,seg,...]; kmat [seg,G] / l_mem / u_mem replicated —
+            # drop the unit mesh dims, loop the segment's groups
+            # on-device.
             tiles = tiles[0, 0]
             diag_slot = diag_slot[0, 0]
             l_slot, l_mask = l_slot[0, 0], l_mask[0, 0]
@@ -335,33 +398,44 @@ class DistributedLU:
             my_c = jax.lax.axis_index("gq")
 
             def body(i, tiles):
-                k = kvec[i]
-                is_owner = jnp.logical_and(my_r == k % p, my_c == k % q)
-                # 1. diag broadcast (masked psum over both axes), then
-                #    redundant GETRF + inverses everywhere.
-                local_diag = tiles[diag_slot[i]]
+                kg = kmat[i]                              # [G]
+                alive = kg >= 0
+                is_owner = ((my_r == kg % p) & (my_c == kg % q)
+                            & alive)[:, None, None]
+                # 1. group diag broadcast (ONE masked psum over both
+                #    axes for all G members), then batched redundant
+                #    GETRF + inverses everywhere.  Padding members
+                #    point at the scratch slot; duplicate scratch
+                #    entries in the scatter-set all write the identical
+                #    unchanged value.
+                dslot = diag_slot[i]                      # [G]
+                local_diag = tiles[dslot]                 # [G,nb,nb]
                 contrib = jnp.where(is_owner, local_diag,
                                     jnp.zeros_like(local_diag))
                 diag_a = jax.lax.psum(contrib, ("gp", "gq"))
-                diag_f, linv, uinv = backend.diag_factor_invert(diag_a, backend.tol)
-                tiles = tiles.at[diag_slot[i]].set(
-                    jnp.where(is_owner, diag_f, tiles[diag_slot[i]]))
-                # 2. panel solves + masked-psum broadcasts.
+                diag_f, linv, uinv = jax.vmap(
+                    lambda d: backend.diag_factor_invert(
+                        d, backend.tol))(diag_a)
+                tiles = tiles.at[dslot].set(
+                    jnp.where(is_owner, diag_f, local_diag))
+                # 2. panel solves against the owning MEMBER's inverse
+                #    + one masked-psum broadcast per direction.
                 lm = l_mask[i][:, None, None]
-                lblk = jnp.matmul(tiles[l_slot[i]], uinv,
+                lblk = jnp.matmul(tiles[l_slot[i]], uinv[l_mem[i]],
                                   preferred_element_type=dt)
                 lblk = jnp.where(lm, lblk, jnp.zeros_like(lblk))
                 tiles = tiles.at[l_slot[i]].set(
                     jnp.where(lm, lblk, tiles[l_slot[i]]))
                 lpanel = jax.lax.psum(lblk, "gq")
                 um = u_mask[i][:, None, None]
-                ublk = jnp.matmul(linv, tiles[u_slot[i]],
+                ublk = jnp.matmul(linv[u_mem[i]], tiles[u_slot[i]],
                                   preferred_element_type=dt)
                 ublk = jnp.where(um, ublk, jnp.zeros_like(ublk))
                 tiles = tiles.at[u_slot[i]].set(
                     jnp.where(um, ublk, tiles[u_slot[i]]))
                 upanel = jax.lax.psum(ublk, "gp")
-                # 3. local Schur updates.
+                # 3. local Schur updates (scatter-add: duplicate dsts
+                #    across group members accumulate).
                 prod = jnp.matmul(lpanel[upd_l[i]], upanel[upd_u[i]],
                                   preferred_element_type=dt)
                 prod = jnp.where(upd_mask[i][:, None, None], prod,
@@ -375,7 +449,7 @@ class DistributedLU:
         specs = P("gp", "gq")
         shard = jax.shard_map(
             run, mesh=mesh,
-            in_specs=(specs, P()) + (specs,) * 9,
+            in_specs=(specs, P(), P(), P()) + (specs,) * 9,
             out_specs=specs,
             # Pallas calls inside the body have no varying-mesh-axes
             # annotation; collectives/masks are managed explicitly
@@ -487,9 +561,11 @@ class DistributedLU:
 
         ctx = jax.default_matmul_precision("highest")
         with self.perf.phase("numeric"), ctx:
-            for kvec, t, step in self._segments:
+            for kmat, (l_mem, u_mem), t, step in self._segments:
                 dist_tiles = step(
-                    dist_tiles, put_replicated(self.mesh, kvec),
+                    dist_tiles, put_replicated(self.mesh, kmat),
+                    put_replicated(self.mesh, l_mem),
+                    put_replicated(self.mesh, u_mem),
                     t["diag_slot"], t["l_slot"], t["l_mask"],
                     t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],
                     t["upd_u"], t["upd_mask"])

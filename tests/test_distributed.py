@@ -224,24 +224,36 @@ def test_dist_segmented_tables_match_reference_construction():
     dist.layout, dist.p, dist.q = lay, p, q
     dist.schedule = schedule
     segs = dist._prepare_levels()
-    # reconstruct a global (level -> set of (r, c, slot)) map and
-    # compare against a direct per-level scan
+    # reconstruct a (group -> set of (r, c, slot, l, u)) map and
+    # compare against a direct scan over the group's members (panel
+    # indices are positions in the GROUP-concatenated panel arrays)
     got = {}
-    for kvec, sig, t in segs:
-        for i, k in enumerate(kvec):
+    for kmat, mems, sig, t in segs:
+        for i in range(kmat.shape[0]):
             mask = t["upd_mask"][:, :, i, :]
             r, c, j = np.nonzero(mask)
-            got[int(k)] = sorted(
+            key = tuple(int(k) for k in kmat[i] if k >= 0)
+            got[key] = sorted(
                 (int(rr), int(cc), int(t["upd_dst"][rr, cc, i, jj]),
                  int(t["upd_l"][rr, cc, i, jj]),
                  int(t["upd_u"][rr, cc, i, jj]))
                 for rr, cc, jj in zip(r, c, j))
-    for lev in schedule.levels:
-        want = sorted(
-            (int(lay.tile_owner_r[d]), int(lay.tile_owner_c[d]),
-             int(lay.tile_slot[d]), int(li), int(ui))
-            for d, li, ui in zip(lev.upd_dst, lev.upd_l, lev.upd_u))
-        assert got.get(lev.k, []) == want, f"level {lev.k}"
+    gmax = DistributedLU.DIST_GROUP_GMAX
+    groups = [mem[s:s + gmax] for mem in schedule.superlevels()
+              for s in range(0, len(mem), gmax)]
+    assert set(got) == {tuple(g) for g in groups}
+    for g in groups:
+        ol = ou = 0
+        want = []
+        for k in g:
+            lev = schedule.levels[k]
+            want += [
+                (int(lay.tile_owner_r[d]), int(lay.tile_owner_c[d]),
+                 int(lay.tile_slot[d]), int(li) + ol, int(ui) + ou)
+                for d, li, ui in zip(lev.upd_dst, lev.upd_l, lev.upd_u)]
+            ol += len(lev.lpanel)
+            ou += len(lev.upanel)
+        assert got[tuple(g)] == sorted(want), f"group {g}"
 
 
 @pytest.mark.slow
@@ -269,5 +281,34 @@ def test_dist_table_construction_at_scale():
     segs = dist._prepare_levels()
     dt = time.perf_counter() - t0
     assert dt < 60.0, f"table construction took {dt:.1f}s"
-    total = sum(len(kvec) for kvec, _, _ in segs)
+    total = sum(int((kmat >= 0).sum()) for kmat, _, _, _ in segs)
     assert total == schedule.block_length
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_distributed_superlevel_groups_match_single_chip(ndev):
+    """ND orderings compress the schedule into multi-member groups: the
+    grouped engine (one diag psum + two panel psums per GROUP, batched
+    inverses, duplicate-dst scatter-add) must match single-chip
+    bitwise-close.  RCM problems above only ever build singleton
+    groups."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    a = poisson2d(16)
+    ro = reorder(a, ordering="nd", nb=8)
+    symb = symbolic(ro.reordered, 8)
+    blocked = tile_matrix(ro.reordered, symb)
+    schedule = build_schedule(blocked)
+    wide = max(len(m) for m in schedule.superlevels())
+    assert wide > 1, "fixture has no super-level compression"
+    single = np.asarray(LUFactorizer(blocked, schedule).factorize())
+    mesh = make_mesh(ndev)
+    dist = DistributedLU(blocked, schedule, mesh.devices.shape,
+                         mesh=mesh)
+    # at least one segment must carry a real multi-member group
+    assert any(kmat.shape[1] > 1 and (kmat >= 0).sum(axis=1).max() > 1
+               for kmat, _, _, _ in dist._segments)
+    multi = dist.factorize()
+    np.testing.assert_allclose(multi[: blocked.num_tiles],
+                               single[: blocked.num_tiles],
+                               rtol=1e-12, atol=1e-12)
