@@ -16,7 +16,17 @@ pangulu_common.h:135).  Per elimination level, inside one ``shard_map``:
      inverses; results are written back locally and shared with a
      masked ``psum`` along 'gq' (L panel) / 'gp' (U panel) — each
      device receives exactly the panel rows/cols it owns updates for;
-  3. every device scatter-adds its local batch of Schur updates.
+  3. every device scatter-adds its local batch of Schur updates —
+     CRITICAL ones (feeding the next group's diag tiles) first, so the
+     next group's diag psum issues before (and overlaps with) the bulk
+     lazy Schur stream: collective-world lookahead, replacing the
+     reference's comm/compute thread overlap
+     (pangulu_numeric.c:1014-1080).
+
+Levels are batched into super-level GROUPS (independent same-depth
+columns): one diag psum + two panel psums per group instead of per
+level — the multi-chip analogue of the reference's concurrent
+ready-GETRF seeding (pangulu_numeric.c:1054-1068).
 
 All device-dependent control (slots, panel positions, masks) is passed
 as ``[p, q, ...]``-shaped index tables sharded over the mesh, so the
@@ -277,6 +287,17 @@ class DistributedLU:
         g_grp = lev_grp[g_lev]
         g_gpos = g_pos + u_woff[g_lev]
 
+        # LOOKAHEAD support: an update is CRITICAL when its destination
+        # is a diag tile of the NEXT group — those must land before the
+        # next group's diag psum can issue; everything else (the bulk
+        # of the Schur stream) is applied after, overlapping the
+        # in-flight collective (the collective-world analogue of the
+        # reference's comm thread feeding the heap while the compute
+        # thread drains it, pangulu_numeric.c:1014-1080).
+        diag_gid = np.full(len(lay.tile_slot) + 1, -1, dtype=np.int64)
+        for k in range(bl):
+            diag_gid[levels[k].diag] = lev_grp[k]
+
         sig = [(bucket(int(gsize[gi])),
                 bucket(max(int(gnl[gi]), 1)),
                 bucket(max(int(gnu[gi]), 1)),
@@ -345,20 +366,56 @@ class DistributedLU:
                    g_gpos[m]] = True
             u_mem[g_grp[m] - s0, g_gpos[m]] = lev_mem[g_lev[m]]
 
+            m = (u_grp >= s0) & (u_grp < s1)
+            # critical = feeds a diag tile of the next group IN THIS
+            # SEGMENT; pulled out into a compact side table (masked out
+            # of the main one) so the main scatter can run after the
+            # prefetch psum is in flight
+            crit = m & (diag_gid[u_dst] == u_grp + 1) & (u_grp + 1 < s1)
+            if crit.any():
+                ckey = (u_grp[crit] * p + u_r[crit]) * q + u_c[crit]
+                corder = np.argsort(ckey, kind="stable")
+                cks = ckey[corder]
+                cidx = np.arange(len(cks))
+                cstart = np.maximum.accumulate(
+                    np.where(np.r_[True, cks[1:] != cks[:-1]], cidx, 0))
+                cpos = np.empty_like(cidx)
+                cpos[corder] = cidx - cstart
+                NCRIT = int(np.bincount(ckey).max())
+            else:
+                cpos = np.zeros(0, dtype=np.int64)
+                NCRIT = 1
+
             upd_dst = np.full((p, q, seg, NUP), scratch, dtype=np.int32)
             upd_l = np.zeros((p, q, seg, NUP), dtype=np.int32)
             upd_u = np.zeros((p, q, seg, NUP), dtype=np.int32)
             upd_mask = np.zeros((p, q, seg, NUP), dtype=bool)
-            m = (u_grp >= s0) & (u_grp < s1)
             upd_dst[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = slot[u_dst[m]]
             upd_l[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = u_lg[m]
             upd_u[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = u_ug[m]
-            upd_mask[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = True
+            upd_mask[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = ~crit[m]
 
-            out.append((kmat, (l_mem, u_mem), (G, NL, NU, NUP), dict(
+            crit_dst = np.full((p, q, seg, NCRIT), scratch, dtype=np.int32)
+            crit_l = np.zeros((p, q, seg, NCRIT), dtype=np.int32)
+            crit_u = np.zeros((p, q, seg, NCRIT), dtype=np.int32)
+            crit_mask = np.zeros((p, q, seg, NCRIT), dtype=bool)
+            if crit.any():
+                crit_dst[u_r[crit], u_c[crit], u_grp[crit] - s0,
+                         cpos] = slot[u_dst[crit]]
+                crit_l[u_r[crit], u_c[crit], u_grp[crit] - s0,
+                       cpos] = u_lg[crit]
+                crit_u[u_r[crit], u_c[crit], u_grp[crit] - s0,
+                       cpos] = u_ug[crit]
+                crit_mask[u_r[crit], u_c[crit], u_grp[crit] - s0,
+                          cpos] = True
+
+            out.append((kmat, (l_mem, u_mem),
+                        (G, NL, NU, NUP, NCRIT), dict(
                 diag_slot=diag_slot, l_slot=l_slot, l_mask=l_mask,
                 u_slot=u_slot, u_mask=u_mask, upd_dst=upd_dst,
-                upd_l=upd_l, upd_u=upd_u, upd_mask=upd_mask)))
+                upd_l=upd_l, upd_u=upd_u, upd_mask=upd_mask,
+                crit_dst=crit_dst, crit_l=crit_l, crit_u=crit_u,
+                crit_mask=crit_mask)))
         return out
 
     # ---- device step ----------------------------------------------------
@@ -370,7 +427,16 @@ class DistributedLU:
         every device, one psum per panel direction for the group's
         concatenated panels, and one scatter-ADD of all the group's
         Schur updates (duplicate destinations across members accumulate
-        exactly — addition commutes)."""
+        exactly — addition commutes).
+
+        LOOKAHEAD: the next group's diag psum is issued mid-iteration —
+        right after the (few) CRITICAL updates that feed those diag
+        tiles land, and BEFORE the bulk lazy Schur stream — and carried
+        into the next iteration.  Nothing downstream of the psum
+        depends on the lazy updates, so XLA's latency-hiding scheduler
+        overlaps the collective with the dominant matmul/scatter work:
+        the collective-world equivalent of the reference's comm/compute
+        thread overlap (pangulu_numeric.c:1014-1080)."""
         cache = getattr(self, "_step_cache", None)
         if cache is None:
             cache = self._step_cache = {}
@@ -382,7 +448,8 @@ class DistributedLU:
         seg_len = shape_key[0]
 
         def run(tiles, kmat, l_mem, u_mem, diag_slot, l_slot, l_mask,
-                u_slot, u_mask, upd_dst, upd_l, upd_u, upd_mask):
+                u_slot, u_mask, upd_dst, upd_l, upd_u, upd_mask,
+                crit_dst, crit_l, crit_u, crit_mask):
             # shapes inside shard_map: tiles [1,1,L,nb,nb]; tables
             # [1,1,seg,...]; kmat [seg,G] / l_mem / u_mem replicated —
             # drop the unit mesh dims, loop the segment's groups
@@ -393,31 +460,37 @@ class DistributedLU:
             u_slot, u_mask = u_slot[0, 0], u_mask[0, 0]
             upd_dst, upd_l = upd_dst[0, 0], upd_l[0, 0]
             upd_u, upd_mask = upd_u[0, 0], upd_mask[0, 0]
+            crit_dst, crit_l = crit_dst[0, 0], crit_l[0, 0]
+            crit_u, crit_mask = crit_u[0, 0], crit_mask[0, 0]
             dt = tiles.dtype
             my_r = jax.lax.axis_index("gp")
             my_c = jax.lax.axis_index("gq")
 
-            def body(i, tiles):
+            def owner_mask(i):
                 kg = kmat[i]                              # [G]
-                alive = kg >= 0
-                is_owner = ((my_r == kg % p) & (my_c == kg % q)
-                            & alive)[:, None, None]
-                # 1. group diag broadcast (ONE masked psum over both
-                #    axes for all G members), then batched redundant
-                #    GETRF + inverses everywhere.  Padding members
-                #    point at the scratch slot; duplicate scratch
-                #    entries in the scatter-set all write the identical
-                #    unchanged value.
-                dslot = diag_slot[i]                      # [G]
-                local_diag = tiles[dslot]                 # [G,nb,nb]
-                contrib = jnp.where(is_owner, local_diag,
+                return ((my_r == kg % p) & (my_c == kg % q)
+                        & (kg >= 0))[:, None, None]
+
+            def diag_psum(i, tiles):
+                # masked group-diag broadcast: ONE psum over both axes
+                # for all G members.  Padding members point at the
+                # scratch slot and are masked to zero.
+                local_diag = tiles[diag_slot[i]]          # [G,nb,nb]
+                contrib = jnp.where(owner_mask(i), local_diag,
                                     jnp.zeros_like(local_diag))
-                diag_a = jax.lax.psum(contrib, ("gp", "gq"))
+                return jax.lax.psum(contrib, ("gp", "gq"))
+
+            def body(i, carry):
+                tiles, diag_a = carry
+                is_owner = owner_mask(i)
+                # 1. batched redundant GETRF + inverses everywhere on
+                #    the PREFETCHED group diag (psum'd last iteration).
+                dslot = diag_slot[i]                      # [G]
                 diag_f, linv, uinv = jax.vmap(
                     lambda d: backend.diag_factor_invert(
                         d, backend.tol))(diag_a)
                 tiles = tiles.at[dslot].set(
-                    jnp.where(is_owner, diag_f, local_diag))
+                    jnp.where(is_owner, diag_f, tiles[dslot]))
                 # 2. panel solves against the owning MEMBER's inverse
                 #    + one masked-psum broadcast per direction.
                 lm = l_mask[i][:, None, None]
@@ -434,22 +507,36 @@ class DistributedLU:
                 tiles = tiles.at[u_slot[i]].set(
                     jnp.where(um, ublk, tiles[u_slot[i]]))
                 upanel = jax.lax.psum(ublk, "gp")
-                # 3. local Schur updates (scatter-add: duplicate dsts
-                #    across group members accumulate).
+                # 3a. CRITICAL updates: the few products feeding the
+                #     next group's diag tiles land first...
+                cprod = jnp.matmul(lpanel[crit_l[i]], upanel[crit_u[i]],
+                                   preferred_element_type=dt)
+                cprod = jnp.where(crit_mask[i][:, None, None], cprod,
+                                  jnp.zeros_like(cprod))
+                tiles = tiles.at[crit_dst[i]].add(-cprod)
+                # 3b. ...so the next group's diag psum can issue NOW
+                #     (last iteration re-fetches group i harmlessly —
+                #     the result is discarded after the loop) ...
+                diag_next = diag_psum(jnp.minimum(i + 1, seg_len - 1),
+                                      tiles)
+                # 3c. ...and overlap with the bulk lazy Schur stream
+                #     (scatter-add: duplicate dsts across group members
+                #     accumulate; critical entries are masked out).
                 prod = jnp.matmul(lpanel[upd_l[i]], upanel[upd_u[i]],
                                   preferred_element_type=dt)
                 prod = jnp.where(upd_mask[i][:, None, None], prod,
                                  jnp.zeros_like(prod))
                 tiles = tiles.at[upd_dst[i]].add(-prod)
-                return tiles
+                return tiles, diag_next
 
-            tiles = jax.lax.fori_loop(0, seg_len, body, tiles)
+            tiles, _ = jax.lax.fori_loop(
+                0, seg_len, body, (tiles, diag_psum(0, tiles)))
             return tiles[None, None]
 
         specs = P("gp", "gq")
         shard = jax.shard_map(
             run, mesh=mesh,
-            in_specs=(specs, P(), P(), P()) + (specs,) * 9,
+            in_specs=(specs, P(), P(), P()) + (specs,) * 13,
             out_specs=specs,
             # Pallas calls inside the body have no varying-mesh-axes
             # annotation; collectives/masks are managed explicitly
@@ -568,7 +655,8 @@ class DistributedLU:
                     put_replicated(self.mesh, u_mem),
                     t["diag_slot"], t["l_slot"], t["l_mask"],
                     t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],
-                    t["upd_u"], t["upd_mask"])
+                    t["upd_u"], t["upd_mask"], t["crit_dst"],
+                    t["crit_l"], t["crit_u"], t["crit_mask"])
             dist_tiles = device_sync(dist_tiles)
         self.perf.add_flops(self.schedule.flop_estimate())
         self.dist_tiles = dist_tiles

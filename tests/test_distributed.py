@@ -228,16 +228,29 @@ def test_dist_segmented_tables_match_reference_construction():
     # compare against a direct scan over the group's members (panel
     # indices are positions in the GROUP-concatenated panel arrays)
     got = {}
+    any_crit = False
     for kmat, mems, sig, t in segs:
         for i in range(kmat.shape[0]):
-            mask = t["upd_mask"][:, :, i, :]
-            r, c, j = np.nonzero(mask)
+            # updates live split across the main (lazy) table and the
+            # compact critical side table (lookahead) — the union must
+            # cover every update exactly once
+            rows = []
+            for dst, lt, ut, mk in (
+                    ("upd_dst", "upd_l", "upd_u", "upd_mask"),
+                    ("crit_dst", "crit_l", "crit_u", "crit_mask")):
+                r, c, j = np.nonzero(t[mk][:, :, i, :])
+                rows += [
+                    (int(rr), int(cc), int(t[dst][rr, cc, i, jj]),
+                     int(t[lt][rr, cc, i, jj]),
+                     int(t[ut][rr, cc, i, jj]))
+                    for rr, cc, jj in zip(r, c, j)]
+                if mk == "crit_mask" and len(r):
+                    any_crit = True
             key = tuple(int(k) for k in kmat[i] if k >= 0)
-            got[key] = sorted(
-                (int(rr), int(cc), int(t["upd_dst"][rr, cc, i, jj]),
-                 int(t["upd_l"][rr, cc, i, jj]),
-                 int(t["upd_u"][rr, cc, i, jj]))
-                for rr, cc, jj in zip(r, c, j))
+            got[key] = sorted(rows)
+    # a chain-type (RCM) schedule always has updates feeding the next
+    # diagonal — the lookahead split must actually engage
+    assert any_crit
     gmax = DistributedLU.DIST_GROUP_GMAX
     groups = [mem[s:s + gmax] for mem in schedule.superlevels()
               for s in range(0, len(mem), gmax)]
