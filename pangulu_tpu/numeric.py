@@ -154,6 +154,63 @@ def _fused_factorize_dd(nb: int, tol: float, th, tl, diag_idx, l_ids,
     return jax.lax.fori_loop(0, bl, body, (th, tl, invh, invl))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1),
+                   donate_argnums=(2, 3, 4, 5))
+def _group_factorize_dd(nb: int, tol: float, th, tl, invh, invl,
+                        lev_ids, diag_idx, l_ids, l_dsel, u_ids,
+                        u_dsel, upd_dst, upd_l, upd_u):
+    """Super-level GROUP dd engine: one fori iteration factors a whole
+    group of independent same-depth columns — G batched dd LU scans
+    (vmapped ``dd_lu_inverses``: the Pallas rank-1 scan batches into
+    one gridded launch), union panels against per-member inverses, and
+    WAVE-SPLIT updates (dd's gather / renormalizing ``dd_sub`` / set
+    needs unique destinations per application; wave w carries every
+    destination's w-th occurrence — see
+    ``Schedule.superfused_wave_tables``).  Amortizes the per-level
+    sequential scan latency that dominates the dd engine under
+    nested-dissection schedules (depth << bl); the dd analogue of the
+    batched-group mega kernel and of the reference's concurrent
+    ready-GETRF seeding (pangulu_numeric.c:1054-1068)."""
+    from pangulu_tpu.ops import dd as D
+
+    ns, W = diag_idx.shape[0], upd_dst.shape[1]
+
+    def body(s, c):
+        th, tl, invh, invl = c
+        d_idx = diag_idx[s]
+        (dh, dl), (lih, lil), (uih, uil) = jax.vmap(
+            lambda h, l: D.dd_lu_inverses(h, l, nb=nb, tol=tol))(
+                th[d_idx], tl[d_idx])
+        th = th.at[d_idx].set(dh)
+        tl = tl.at[d_idx].set(dl)
+        ks = lev_ids[s]
+        invh = invh.at[ks, 0].set(lih)
+        invl = invl.at[ks, 0].set(lil)
+        invh = invh.at[ks, 1].set(uih)
+        invl = invl.at[ks, 1].set(uil)
+        lbh, lbl = D.dd_matmul(th[l_ids[s]], tl[l_ids[s]],
+                               uih[l_dsel[s]], uil[l_dsel[s]])
+        th = th.at[l_ids[s]].set(lbh)
+        tl = tl.at[l_ids[s]].set(lbl)
+        ubh, ubl = D.dd_matmul(lih[u_dsel[s]], lil[u_dsel[s]],
+                               th[u_ids[s]], tl[u_ids[s]])
+        th = th.at[u_ids[s]].set(ubh)
+        tl = tl.at[u_ids[s]].set(ubl)
+
+        def wave(w, c2):
+            th, tl = c2
+            dst = upd_dst[s, w]
+            ph, pl = D.dd_matmul(lbh[upd_l[s, w]], lbl[upd_l[s, w]],
+                                 ubh[upd_u[s, w]], ubl[upd_u[s, w]])
+            nh, nl2 = D.dd_sub(th[dst], tl[dst], ph, pl)
+            return th.at[dst].set(nh), tl.at[dst].set(nl2)
+
+        th, tl = jax.lax.fori_loop(0, W, wave, (th, tl))
+        return th, tl, invh, invl
+
+    return jax.lax.fori_loop(0, ns, body, (th, tl, invh, invl))
+
+
 @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def _superfused_factorize(backend: KernelBackend, tiles, diag_idx,
                           l_ids, l_dsel, u_ids, u_dsel,
@@ -269,8 +326,13 @@ class LUFactorizer:
             elif self._dd_eligible():
                 # r64 on TPU: double-float engine on the f32 MXU (the
                 # emulated-f64 path is ~1000x slower)
-                dispatch = "dd"
-                reason = "f64 on TPU -> double-float f32 engine"
+                if self._group_worthwhile():
+                    dispatch = "dd_group"
+                    reason = ("f64 on TPU -> double-float f32 engine, "
+                              "batched super-level groups")
+                else:
+                    dispatch = "dd"
+                    reason = "f64 on TPU -> double-float f32 engine"
             elif self._mega_eligible():
                 if self._group_worthwhile():
                     dispatch = "mega_group"
@@ -306,6 +368,11 @@ class LUFactorizer:
             self._fused_args = tuple(
                 jnp.asarray(t) for t in
                 self.schedule.fused_tables(self.blocked.num_tiles))
+        elif dispatch == "dd_group":
+            self._super_segments = [
+                tuple(jnp.asarray(t) for t in seg)
+                for seg in self.schedule.superfused_wave_tables(
+                    self.blocked.num_tiles, gmax=self.GROUP_GMAX)]
         elif dispatch == "mega":
             from pangulu_tpu.ops.kernels_pallas import mega_uch
 
@@ -464,7 +531,7 @@ class LUFactorizer:
         final sync.  The returned tiles are a valid async value either
         way.
         """
-        if self.dispatch == "dd":
+        if self.dispatch in ("dd", "dd_group"):
             from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
 
             if isinstance(tiles, DdTiles):
@@ -481,8 +548,20 @@ class LUFactorizer:
             tol = (self.backend.tol if self.backend.tol is not None
                    else float(DEFAULT_TOL[jnp.dtype(np.float64)]))
             with self.perf.phase("numeric"):
-                th, tl, invh, invl = _fused_factorize_dd(
-                    self.blocked.nb, tol, th, tl, *self._fused_args)
+                if self.dispatch == "dd_group":
+                    # +1 scratch inverse row for padding group members
+                    nb = self.blocked.nb
+                    invh = jnp.zeros(
+                        (self.schedule.block_length + 1, 2, nb, nb),
+                        jnp.float32)
+                    invl = jnp.zeros_like(invh)
+                    for seg in self._super_segments:
+                        th, tl, invh, invl = _group_factorize_dd(
+                            nb, tol, th, tl, invh, invl, *seg)
+                    invh, invl = invh[:-1], invl[:-1]
+                else:
+                    th, tl, invh, invl = _fused_factorize_dd(
+                        self.blocked.nb, tol, th, tl, *self._fused_args)
                 if sync:
                     th = device_sync(th)
             self.inv_tiles = (invh, invl)

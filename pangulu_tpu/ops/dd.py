@@ -212,15 +212,27 @@ def dd_matmul(ah, al, bh, bl):
     b_s = jnp.stack(_slices(bh, bl, inv_b))
     pa = a_s[jnp.asarray(_I_SEL)]                      # [P, ..., m, k]
     pb = b_s[jnp.asarray(_J_SEL)]
-    # align batch ranks (one operand may carry extra batch dims): the
-    # leading pair axis must stay axis 0 of both
+    # align batch ranks (one operand may carry extra batch dims), then
+    # canonicalize to ONE flattened batch dim for the dot: XLA's dot
+    # simplifier miscompiles dot_generals with many batch dims (hlo
+    # verifier failure observed on CPU when this runs under nested
+    # vmap, e.g. the batched-group dd engine), and a single batch dim
+    # keeps the lowering identical whether or not callers batch.
     if pa.ndim > pb.ndim:
         pb = pb.reshape(pb.shape[:1]
                         + (1,) * (pa.ndim - pb.ndim) + pb.shape[1:])
     elif pb.ndim > pa.ndim:
         pa = pa.reshape(pa.shape[:1]
                         + (1,) * (pb.ndim - pa.ndim) + pa.shape[1:])
-    prod = jnp.matmul(pa, pb, preferred_element_type=f32)
+    bshape = jnp.broadcast_shapes(pa.shape[:-2], pb.shape[:-2])
+    mdim, kdim = pa.shape[-2:]
+    ndim_ = pb.shape[-1]
+    pa = jnp.broadcast_to(pa, bshape + (mdim, kdim))
+    pb = jnp.broadcast_to(pb, bshape + (kdim, ndim_))
+    prod = jnp.matmul(pa.reshape((-1, mdim, kdim)),
+                      pb.reshape((-1, kdim, ndim_)),
+                      preferred_element_type=f32)
+    prod = prod.reshape(bshape + (mdim, ndim_))
     ch = jnp.sum(prod[_D_START[0]:_D_START[1]], axis=0)
     cl = jnp.zeros_like(ch)
     for d in range(1, NSLICE):

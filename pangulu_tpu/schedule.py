@@ -471,6 +471,106 @@ class Schedule:
                         upd_dst, upd_l, upd_u))
         return out
 
+    def superfused_wave_tables(self, scratch_tile: int, gmax: int = 16,
+                               min_run: int = 1):
+        """Per-SEGMENT padded tables for SET-semantics super-level
+        engines (the dd engine's update is gather / renormalizing
+        dd_sub / SET, which — unlike a commutative scatter-ADD —
+        cannot tolerate duplicate destinations in one application).
+
+        Groups = superlevels split at ``gmax`` (bounds the batched
+        dd-scan width).  Each group's updates are WAVE-SPLIT: wave w
+        holds every destination's w-th occurrence, so destinations are
+        unique within a wave; waves apply sequentially (W = max
+        destination multiplicity across the group — small in
+        practice, 1 for chain schedules).
+
+        Returns a list of
+        (lev_ids[S,G], diag_idx[S,G], l_ids[S,NL], l_dsel[S,NL],
+         u_ids[S,NU], u_dsel[S,NU], upd_dst[S,W,NW], upd_l[S,W,NW],
+         upd_u[S,W,NW]); ``lev_ids`` pad = ``block_length`` (the
+        scratch inverse-store row), tile pads = ``scratch_tile``,
+        ``upd_l``/``upd_u`` index the group-CONCATENATED panel lists.
+        """
+        supers = [mem[s:s + gmax] for mem in self.superlevels()
+                  for s in range(0, len(mem), gmax)]
+        gdata = []
+        sig = []
+        for mem in supers:
+            nl = nu = 0
+            dsts, uls, uus = [], [], []
+            for k in mem:
+                lev = self.levels[k]
+                dsts.append(np.asarray(lev.upd_dst, dtype=np.int64))
+                uls.append(np.asarray(lev.upd_l, dtype=np.int64) + nl)
+                uus.append(np.asarray(lev.upd_u, dtype=np.int64) + nu)
+                nl += len(lev.lpanel)
+                nu += len(lev.upanel)
+            dst = (np.concatenate(dsts) if dsts
+                   else np.empty(0, np.int64))
+            if len(dst):
+                ul = np.concatenate(uls)
+                uu = np.concatenate(uus)
+                # occurrence index of each destination = its wave
+                order = np.argsort(dst, kind="stable")
+                ds = dst[order]
+                idx = np.arange(len(ds))
+                start = np.maximum.accumulate(
+                    np.where(np.r_[True, ds[1:] != ds[:-1]], idx, 0))
+                occ = np.empty_like(idx)
+                occ[order] = idx - start
+                # position within the wave = appearance order
+                worder = np.argsort(occ, kind="stable")
+                ws = occ[worder]
+                widx = np.arange(len(ws))
+                wstart = np.maximum.accumulate(
+                    np.where(np.r_[True, ws[1:] != ws[:-1]], widx, 0))
+                wpos = np.empty_like(widx)
+                wpos[worder] = widx - wstart
+                wcnt = np.bincount(occ)
+                W, NW = len(wcnt), int(wcnt.max())
+            else:
+                ul = uu = dst
+                occ = wpos = np.zeros(0, dtype=np.int64)
+                W = NW = 1
+            gdata.append((mem, nl, nu, dst, ul, uu, occ, wpos))
+            sig.append((bucket(max(len(mem), 1)), bucket(max(nl, 1)),
+                        bucket(max(nu, 1)), W, bucket(max(NW, 1))))
+        out = []
+        for s0, s1, (G, NL, NU, W, NW) in group_runs(sig, min_run):
+            seg = s1 - s0
+            lev_ids = np.full((seg, G), self.block_length,
+                              dtype=np.int32)
+            diag_idx = np.full((seg, G), scratch_tile, dtype=np.int32)
+            l_ids = np.full((seg, NL), scratch_tile, dtype=np.int32)
+            l_dsel = np.zeros((seg, NL), dtype=np.int32)
+            u_ids = np.full((seg, NU), scratch_tile, dtype=np.int32)
+            u_dsel = np.zeros((seg, NU), dtype=np.int32)
+            upd_dst = np.full((seg, W, NW), scratch_tile, dtype=np.int32)
+            upd_l = np.zeros((seg, W, NW), dtype=np.int32)
+            upd_u = np.zeros((seg, W, NW), dtype=np.int32)
+            for t in range(seg):
+                mem, nl, nu, dst, ul, uu, occ, wpos = gdata[s0 + t]
+                ol = ou = 0
+                for g, k in enumerate(mem):
+                    lev = self.levels[k]
+                    lev_ids[t, g] = k
+                    diag_idx[t, g] = lev.diag
+                    nlk = len(lev.lpanel)
+                    nuk = len(lev.upanel)
+                    l_ids[t, ol:ol + nlk] = lev.lpanel
+                    l_dsel[t, ol:ol + nlk] = g
+                    u_ids[t, ou:ou + nuk] = lev.upanel
+                    u_dsel[t, ou:ou + nuk] = g
+                    ol += nlk
+                    ou += nuk
+                upd_dst[t, occ, wpos] = dst
+                upd_l[t, occ, wpos] = ul
+                upd_u[t, occ, wpos] = uu
+            out.append((lev_ids, diag_idx, l_ids, l_dsel, u_ids,
+                        u_dsel, upd_dst, upd_l, upd_u))
+        return out
+
     def fused_overhead(self) -> float:
         """Padded-work / real-work ratio of the fused engine's Schur
         stage (the dominant cost); used to pick fused vs per-level

@@ -207,3 +207,81 @@ def test_dd_scan_pallas_matches_xla():
     np.testing.assert_allclose(
         D.dd_to_f64(fh1, fl1), D.dd_to_f64(fh2, fl2),
         rtol=1e-13, atol=1e-13)
+
+
+def _nd_problem(nb=8, nx=12):
+    """ND-ordered fixture with real super-level compression (multiple
+    same-depth columns per group)."""
+    from pangulu_tpu.models import poisson2d as _p2d
+
+    a = _p2d(nx)
+    ro = reorder(a, ordering="nd", nb=nb)
+    symb = symbolic(ro.reordered, nb)
+    blocked = tile_matrix(ro.reordered, symb)
+    return a, ro, blocked, build_schedule(blocked)
+
+
+def test_superfused_wave_tables_cover_all_updates():
+    """Union of waves == every update exactly once; destinations are
+    unique within each (group, wave); panel concat offsets match the
+    superfused layout."""
+    a, ro, blocked, schedule = _nd_problem()
+    assert max(len(m) for m in schedule.superlevels()) > 1
+    gmax = 4
+    segs = schedule.superfused_wave_tables(blocked.num_tiles, gmax=gmax)
+    groups = [mem[s:s + gmax] for mem in schedule.superlevels()
+              for s in range(0, len(mem), gmax)]
+    gi = 0
+    multi_wave = False
+    for seg in segs:
+        (lev_ids, diag_idx, l_ids, l_dsel, u_ids, u_dsel,
+         upd_dst, upd_l, upd_u) = seg
+        for t in range(lev_ids.shape[0]):
+            mem = groups[gi]
+            assert [k for k in lev_ids[t]
+                    if k < schedule.block_length] == list(mem)
+            # reconstruct (dst, l, u) triples from the wave tables
+            got = []
+            for w in range(upd_dst.shape[1]):
+                real = upd_dst[t, w] != blocked.num_tiles
+                wd = upd_dst[t, w][real]
+                assert len(np.unique(wd)) == len(wd), "dup dst in wave"
+                got += list(zip(wd, upd_l[t, w][real],
+                                upd_u[t, w][real]))
+                if w > 0 and real.any():
+                    multi_wave = True
+            want = []
+            ol = ou = 0
+            for k in mem:
+                lev = schedule.levels[k]
+                want += [(d, li + ol, ui + ou) for d, li, ui in
+                         zip(lev.upd_dst, lev.upd_l, lev.upd_u)]
+                ol += len(lev.lpanel)
+                ou += len(lev.upanel)
+            assert sorted(got) == sorted(want), f"group {gi}"
+            gi += 1
+    assert gi == len(groups)
+    assert multi_wave, "fixture never exercises a second wave"
+
+
+def test_dd_group_engine_matches_dd():
+    """The batched super-level group dd engine must agree with the
+    per-level dd engine to ~dd precision and keep residual + solve
+    quality (inverse store contract included)."""
+    a, ro, blocked, schedule = _nd_problem()
+    fac1 = LUFactorizer(blocked, schedule, dispatch="dd")
+    t1 = np.asarray(fac1.factorize())
+    fac2 = LUFactorizer(blocked, schedule, dispatch="dd_group")
+    tiles2 = fac2.factorize()
+    assert isinstance(tiles2, DdTiles)
+    t2 = np.asarray(tiles2)
+    nt = blocked.num_tiles
+    np.testing.assert_allclose(t2[:nt], t1[:nt], rtol=1e-11, atol=1e-11)
+    lmat, umat = gather_factor(blocked, t2)
+    res = factorization_residual(ro.reordered.to_scipy(), lmat, umat)
+    assert res < 1e-12, res
+    ts = TriangularSolver(blocked, schedule, inv_tiles=fac2.inv_tiles)
+    b = generated_rhs(a)
+    w = ts.solve(tiles2, ro.transform_b(b))
+    x = ro.transform_x(w)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-12

@@ -211,3 +211,19 @@ res = residual_norm(a.to_scipy().T.tocsc(), xt, bt)
 print(f"{'transpose solve':22s} n={a.n:7d} dispatch=trans      "
       f"residual={res:.2e} {'OK' if res < 1e-4 else 'FAIL'}", flush=True)
 finalize(h)
+
+# r64 batched-group dd engine (wave-split updates) under an aligned-ND
+# schedule: auto-dispatch must pick dd_group and keep dd-class
+# residuals on chip
+a = poisson3d(12)
+h = init(a, InitOptions(nb=128, dtype="r64", ordering="nd"))
+gstrf(h)
+disp = h._factorizer.dispatch
+b = np.asarray(a.to_scipy() @ np.ones(a.n))
+x = gstrs(h, b)
+res = residual_norm(a.to_scipy(), x, b)
+print(f"{'r64 dd_group nd':22s} n={a.n:7d} dispatch={disp:10s} "
+      f"residual={res:.2e} "
+      f"{'OK' if res < 1e-10 and disp == 'dd_group' else 'FAIL'}",
+      flush=True)
+finalize(h)
