@@ -16,7 +16,13 @@ shard_map fori_loop:
   3. owners of column-k panel blocks subtract ``T(i,k) @ x_k`` from
      their partial segments locally (the reference's per-rank spmv).
 
-Two [nb, nrhs] psums per level — strictly less traffic than the
+Levels are batched into super-level GROUPS (independent same-depth
+columns, Schedule.superlevels — the same block adjacency governs the
+solve's dependencies): one iteration settles a whole group with TWO
+[G, nb, nrhs] psums instead of 2 psums per level (collective-latency
+amortization; chain schedules degenerate to G=1 and behave exactly as
+per-level stepping).  The backward sweep walks the groups in reverse.
+Traffic equals the per-level scheme — strictly less than the
 reference's panel-sized exchanges.  The whole lower+upper sweep is ONE
 device dispatch.
 """
@@ -56,47 +62,77 @@ class DistributedTriangularSolver:
         self._nrhs = None
         self._sum = None
 
+    # Group width cap, matching the distributed factorization engine.
+    GMAX = 16
+
     def _prepare(self):
         lay, p, q = self.layout, self.p, self.q
         bl = self.schedule.block_length
         scratch_tile = lay.lmax - 1
         scratch_seg = bl  # x carries bl+1 segments
-        nl = max(self.schedule.max_lpanel, 1)
-        nuc = max((len(l.ucolpanel) for l in self.schedule.levels),
-                  default=0)
-        nuc = max(nuc, 1)
-        diag_slot = np.full((p, q, bl), scratch_tile, dtype=np.int32)
-        l_slot = np.full((p, q, bl, nl), scratch_tile, dtype=np.int32)
-        l_rows = np.full((p, q, bl, nl), scratch_seg, dtype=np.int32)
-        uc_slot = np.full((p, q, bl, nuc), scratch_tile, dtype=np.int32)
-        uc_rows = np.full((p, q, bl, nuc), scratch_seg, dtype=np.int32)
-        for lev in self.schedule.levels:
-            k = lev.k
-            kr, kc = k % p, k % q
-            diag_slot[kr, kc, k] = lay.tile_slot[lev.diag]
-            for t, (tid, bi) in enumerate(zip(lev.lpanel, lev.lrows)):
-                r, c = lay.tile_owner_r[tid], lay.tile_owner_c[tid]
-                l_slot[r, c, k, t] = lay.tile_slot[tid]
-                l_rows[r, c, k, t] = bi
-            for t, (tid, bi) in enumerate(zip(lev.ucolpanel, lev.ucolrows)):
-                r, c = lay.tile_owner_r[tid], lay.tile_owner_c[tid]
-                uc_slot[r, c, k, t] = lay.tile_slot[tid]
-                uc_rows[r, c, k, t] = bi
-        from pangulu_tpu.parallel.multihost import put_grid_sharded
+        groups = [mem[s:s + self.GMAX]
+                  for mem in self.schedule.superlevels()
+                  for s in range(0, len(mem), self.GMAX)]
+        ngr = len(groups)
+        G = max((len(g) for g in groups), default=1)
+        NL = max((sum(len(self.schedule.levels[k].lpanel) for k in g)
+                  for g in groups), default=0)
+        NL = max(NL, 1)
+        NUC = max((sum(len(self.schedule.levels[k].ucolpanel)
+                       for k in g) for g in groups), default=0)
+        NUC = max(NUC, 1)
+        kmat = np.full((ngr, G), -1, dtype=np.int32)
+        kseg = np.full((ngr, G), scratch_seg, dtype=np.int32)
+        l_msel = np.zeros((ngr, NL), dtype=np.int32)
+        uc_msel = np.zeros((ngr, NUC), dtype=np.int32)
+        diag_slot = np.full((p, q, ngr, G), scratch_tile, dtype=np.int32)
+        l_slot = np.full((p, q, ngr, NL), scratch_tile, dtype=np.int32)
+        l_rows = np.full((p, q, ngr, NL), scratch_seg, dtype=np.int32)
+        uc_slot = np.full((p, q, ngr, NUC), scratch_tile, dtype=np.int32)
+        uc_rows = np.full((p, q, ngr, NUC), scratch_seg, dtype=np.int32)
+        for gi, g in enumerate(groups):
+            ol = ou = 0
+            for mi, k in enumerate(g):
+                lev = self.schedule.levels[k]
+                kmat[gi, mi] = k
+                kseg[gi, mi] = k
+                diag_slot[k % p, k % q, gi, mi] = lay.tile_slot[lev.diag]
+                for t, (tid, bi) in enumerate(zip(lev.lpanel, lev.lrows)):
+                    r, c = lay.tile_owner_r[tid], lay.tile_owner_c[tid]
+                    l_slot[r, c, gi, ol + t] = lay.tile_slot[tid]
+                    l_rows[r, c, gi, ol + t] = bi
+                    l_msel[gi, ol + t] = mi
+                for t, (tid, bi) in enumerate(zip(lev.ucolpanel,
+                                                  lev.ucolrows)):
+                    r, c = lay.tile_owner_r[tid], lay.tile_owner_c[tid]
+                    uc_slot[r, c, gi, ou + t] = lay.tile_slot[tid]
+                    uc_rows[r, c, gi, ou + t] = bi
+                    uc_msel[gi, ou + t] = mi
+                ol += len(lev.lpanel)
+                ou += len(lev.ucolpanel)
+        from pangulu_tpu.parallel.multihost import (
+            put_grid_sharded, put_replicated,
+        )
 
         tables = dict(diag_slot=diag_slot, l_slot=l_slot, l_rows=l_rows,
                       uc_slot=uc_slot, uc_rows=uc_rows)
-        return {k: put_grid_sharded(self.mesh, v.shape,
-                                    lambda r, c, v=v: v[r:r + 1, c:c + 1])
-                for k, v in tables.items()}
+        out = {k: put_grid_sharded(self.mesh, v.shape,
+                                   lambda r, c, v=v: v[r:r + 1, c:c + 1])
+               for k, v in tables.items()}
+        for k, v in dict(kmat=kmat, kseg=kseg, l_msel=l_msel,
+                         uc_msel=uc_msel).items():
+            out[k] = put_replicated(self.mesh, v)
+        self._ngroups = ngr
+        return out
 
     def _build(self, nrhs: int):
         backend = self.backend
         p, q = self.p, self.q
-        bl = self.schedule.block_length
+        ngr = self._ngroups
         nb = self.schedule.nb
 
-        def run(tiles, x, diag_slot, l_slot, l_rows, uc_slot, uc_rows):
+        def run(tiles, x, diag_slot, l_slot, l_rows, uc_slot, uc_rows,
+                kmat, kseg, l_msel, uc_msel):
             tiles = tiles[0, 0]
             x = x[0, 0]
             diag_slot = diag_slot[0, 0]
@@ -106,34 +142,40 @@ class DistributedTriangularSolver:
             my_r = jax.lax.axis_index("gp")
             my_c = jax.lax.axis_index("gq")
 
-            def level(k, x, slot_tab, rows_tab, lower):
-                is_owner = jnp.logical_and(my_r == k % p, my_c == k % q)
-                xk = jax.lax.psum(x[k], ("gp", "gq"))
-                d = tiles[diag_slot[k]]
-                solved = (backend.trsv_lower_unit(d, xk) if lower
-                          else backend.trsv_upper(d, xk))
+            def group(g, x, slot_tab, rows_tab, msel_tab, lower):
+                kg = kmat[g]                               # [G]
+                ks = kseg[g]                               # [G], pad=bl
+                is_owner = ((my_r == kg % p) & (my_c == kg % q)
+                            & (kg >= 0))[:, None, None]
+                xk = jax.lax.psum(x[ks], ("gp", "gq"))     # [G,nb,nrhs]
+                d = tiles[diag_slot[g]]                    # [G,nb,nb]
+                solved = jax.vmap(backend.trsv_lower_unit if lower
+                                  else backend.trsv_upper)(d, xk)
                 solved = jax.lax.psum(
                     jnp.where(is_owner, solved, jnp.zeros_like(solved)),
                     ("gp", "gq"))
-                x = x.at[k].set(jnp.where(is_owner, solved,
-                                          jnp.zeros_like(solved)))
-                upd = jnp.matmul(tiles[slot_tab[k]], solved,
+                x = x.at[ks].set(jnp.where(is_owner, solved,
+                                           jnp.zeros_like(solved)))
+                upd = jnp.matmul(tiles[slot_tab[g]],
+                                 solved[msel_tab[g]],
                                  preferred_element_type=dt)
-                return x.at[rows_tab[k]].add(-upd)
+                return x.at[rows_tab[g]].add(-upd)
 
-            def fwd(k, x):
-                return level(k, x, l_slot, l_rows, True)
+            def fwd(g, x):
+                return group(g, x, l_slot, l_rows, l_msel, True)
 
             def bwd(i, x):
-                return level(bl - 1 - i, x, uc_slot, uc_rows, False)
+                return group(ngr - 1 - i, x, uc_slot, uc_rows,
+                             uc_msel, False)
 
-            x = jax.lax.fori_loop(0, bl, fwd, x)
-            x = jax.lax.fori_loop(0, bl, bwd, x)
+            x = jax.lax.fori_loop(0, ngr, fwd, x)
+            x = jax.lax.fori_loop(0, ngr, bwd, x)
             return x[None, None]
 
         specs = P("gp", "gq")
         shard = jax.shard_map(run, mesh=self.mesh,
-                              in_specs=(specs,) * 7, out_specs=specs,
+                              in_specs=(specs,) * 7 + (P(),) * 4,
+                              out_specs=specs,
                               check_vma=False)
         return jax.jit(shard, donate_argnums=(1,))
 
@@ -164,7 +206,9 @@ class DistributedTriangularSolver:
         ctx = jax.default_matmul_precision("highest")
         with self.perf.phase("sptrsv"), ctx:
             x = self._run(dist_tiles, x, t["diag_slot"], t["l_slot"],
-                          t["l_rows"], t["uc_slot"], t["uc_rows"])
+                          t["l_rows"], t["uc_slot"], t["uc_rows"],
+                          t["kmat"], t["kseg"], t["l_msel"],
+                          t["uc_msel"])
             # reduce the additive shards ON DEVICE to a replicated x
             # (multi-host safe: every process can read a replicated
             # array; summing on host would need all shards local).

@@ -325,3 +325,15 @@ def test_distributed_superlevel_groups_match_single_chip(ndev):
     np.testing.assert_allclose(multi[: blocked.num_tiles],
                                single[: blocked.num_tiles],
                                rtol=1e-12, atol=1e-12)
+    # grouped distributed solve (two [G,nb,nrhs] psums per group) on
+    # the same compressing schedule — must reach f64-class residuals
+    from pangulu_tpu.parallel.dist_sptrsv import (
+        DistributedTriangularSolver,
+    )
+
+    dts = DistributedTriangularSolver(blocked, schedule, dist.layout,
+                                      mesh)
+    b = generated_rhs(a)
+    w = dts.solve(dist.dist_tiles, ro.transform_b(b))
+    x = ro.transform_x(w)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-10
