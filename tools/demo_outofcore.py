@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Judge r2 #3 'done-when' demo: a matrix whose DENSE tile store
+exceeds the 16 GB chip HBM factors on ONE chip at >= 2 TF through the
+out-of-core panel driver (compressed at rest, mega kernel per panel
+cross, chunked out-updates).
+
+poisson3d(96) @ nb=128: n = 884,736 -> 306,852 tiles = 18.7 GiB dense
+store (measured by tools precheck) vs 16 GB HBM.  The compressed store
+holds only O(fill) values + u16 slots.
+
+Run ON THE CHIP: PYTHONPATH=/root/.axon_site:/root/repo \
+    python tools/demo_outofcore.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    from pangulu_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import numpy as np
+
+    from pangulu_tpu.api import InitOptions, finalize, gstrf, gstrs, init
+    from pangulu_tpu.models import poisson3d
+    from pangulu_tpu.utils.perf import residual_norm
+
+    nx = int(os.environ.get("OOC_NX", "96"))
+    nb = int(os.environ.get("OOC_NB", "128"))
+    t0 = time.perf_counter()
+    a = poisson3d(nx)
+    print(f"matrix n={a.n} nnz={a.nnz} ({time.perf_counter()-t0:.1f}s)",
+          flush=True)
+    t0 = time.perf_counter()
+    h = init(a, InitOptions(nb=nb, dtype="r32", ordering="nd",
+                            tile_storage="compressed"))
+    nt = h.blocked.num_tiles
+    dense_gib = nt * nb * nb * 4 / 2**30
+    print(f"init {time.perf_counter()-t0:.1f}s: {nt} tiles, dense "
+          f"store {dense_gib:.2f} GiB "
+          f"({'EXCEEDS' if dense_gib > 16 else 'fits'} 16 GB HBM), "
+          f"compressed {h._factorizer.store.compressed_bytes()/2**30:.2f}"
+          f" GiB", flush=True)
+    t0 = time.perf_counter()
+    gstrf(h)
+    dt = time.perf_counter() - t0
+    gf = h.schedule.flop_estimate() / dt / 1e9
+    print(f"gstrf {dt:.1f}s = {gf:.0f} GFLOPS (dense-tile model) "
+          f"dispatch={type(h._factorizer).__name__}", flush=True)
+    b = np.asarray(a.to_scipy() @ np.ones(a.n), dtype=np.float32)
+    t0 = time.perf_counter()
+    x = gstrs(h, b)
+    res = residual_norm(a.to_scipy(), x, b)
+    print(f"gstrs {time.perf_counter()-t0:.1f}s residual {res:.3e} "
+          f"{'OK' if res < 1e-4 and gf >= 2000 else 'FAIL'}", flush=True)
+    finalize(h)
+
+
+if __name__ == "__main__":
+    main()
