@@ -43,15 +43,15 @@ def main():
     dense_gib = nt * nb * nb * 4 / 2**30
     print(f"init {time.perf_counter()-t0:.1f}s: {nt} tiles, dense "
           f"store {dense_gib:.2f} GiB "
-          f"({'EXCEEDS' if dense_gib > 16 else 'fits'} 16 GB HBM), "
-          f"compressed {h._factorizer.store.compressed_bytes()/2**30:.2f}"
-          f" GiB", flush=True)
+          f"({'EXCEEDS' if dense_gib > 16 else 'fits'} 16 GB HBM)",
+          flush=True)
     t0 = time.perf_counter()
     gstrf(h)
     dt = time.perf_counter() - t0
     gf = h.schedule.flop_estimate() / dt / 1e9
     print(f"gstrf {dt:.1f}s = {gf:.0f} GFLOPS (dense-tile model) "
-          f"dispatch={type(h._factorizer).__name__}", flush=True)
+          f"engine={type(h._factorizer).__name__} compressed "
+          f"{h.factor_tiles.compressed_bytes/2**30:.2f} GiB", flush=True)
     b = np.asarray(a.to_scipy() @ np.ones(a.n), dtype=np.float32)
     t0 = time.perf_counter()
     x = gstrs(h, b)
