@@ -1562,6 +1562,191 @@ def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
       tiles, invs, x)
 
 
+def _mega_solve_groups_kernel(nl_tab, nuc_tab, kseg_tab, ltab_hbm,
+                              uctab_hbm, tiles_hbm, invs_hbm, x_in,
+                              x_out, invbuf, tbuf, xbuf, tab_s,
+                              sem_inv, sem_t, sem_tab,
+                              *, nb, bl, ngr, gmax, npan, pchunk):
+    """Batched-group SpTRSV: one sweep iteration settles a whole
+    super-level group — the G member contractions have no dependent
+    chain between them (equal-depth columns share no tile), so their
+    dots issue back-to-back, and the group's concatenated panels
+    stream as one chunk sequence.  Same double-buffered pipeline and
+    semaphore ledger as :func:`_mega_solve_kernel`, with levels
+    replaced by groups and the per-level index rows packed into ONE
+    [3, W] SMEM DMA (ids / x-rows / member selectors)."""
+    dt = x_out.dtype
+    hi = lax.Precision.HIGHEST
+    i32 = jnp.int32
+    x_out[:, :, :] = x_in[:, :, :]
+
+    def _tab(g, sl, tab_hbm):
+        return pltpu.make_async_copy(tab_hbm.at[g], tab_s.at[sl],
+                                     sem_tab.at[sl])
+
+    def _inv_copies(g, sl, inv_slot):
+        out = []
+        for m in range(gmax):
+            k = jnp.minimum(kseg_tab[g, m], i32(bl - 1))
+            out.append(pltpu.make_async_copy(invs_hbm.at[k, inv_slot],
+                                             invbuf.at[sl, m],
+                                             sem_inv.at[sl, m]))
+        return out
+
+    def _invs(g, sl, inv_slot):
+        for c in _inv_copies(g, sl, inv_slot):
+            c.start()
+
+    def _wait_invs(g, sl, inv_slot):
+        for c in _inv_copies(g, sl, inv_slot):
+            c.wait()
+
+    def _tile(sl, i, tid):
+        return pltpu.make_async_copy(tiles_hbm.at[tid],
+                                     tbuf.at[sl, i], sem_t.at[sl, i])
+
+    def _start_chunk(tb_sl, row_sl, base, cnt):
+        lax.fori_loop(
+            0, cnt,
+            lambda t, c: (_tile(tb_sl, t,
+                                tab_s[row_sl, 0, base + t]).start(),
+                          c)[1],
+            0)
+
+    def _sweep(nseg_tab, tab_hbm, inv_slot, descending):
+        def grp(i):
+            j = jnp.minimum(jnp.maximum(i, 0), i32(ngr - 1))
+            return jnp.asarray(ngr - 1 - j if descending else j, i32)
+
+        # prologue: tab+invs for groups 0/1 -> slots 0/1; group 0's
+        # chunk 0 -> tbuf slot 0
+        _tab(grp(0), 0, tab_hbm).start()
+        _invs(grp(0), 0, inv_slot)
+        _tab(grp(1), 1, tab_hbm).start()
+        _invs(grp(1), 1, inv_slot)
+        _tab(grp(0), 0, tab_hbm).wait()
+        _start_chunk(0, 0, 0,
+                     jnp.minimum(nseg_tab[grp(0)], i32(pchunk)))
+
+        def body(i, par):
+            row_sl = lax.rem(jnp.asarray(i, i32), i32(2))
+            g = grp(i)
+            n = nseg_tab[g]
+            _wait_invs(g, row_sl, inv_slot)
+            # member contractions: independent dots, no chain between
+            # them (padding members read the scratch x segment and
+            # write garbage back to it — never selected by real
+            # panels)
+            for m in range(gmax):
+                k = kseg_tab[g, m]
+                xk = lax.dot_general(
+                    x_out[:, k, :], invbuf[row_sl, m],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=dt, precision=hi)
+                x_out[:, k, :] = xk
+                xbuf[m] = xk
+
+            gn = grp(i + 1)
+            _tab(gn, 1 - row_sl, tab_hbm).wait()
+            nn = nseg_tab[gn]
+            nch = jnp.maximum(
+                lax.div(n + i32(pchunk - 1), i32(pchunk)), i32(1))
+
+            def chunk_body(c, par):
+                base = c * i32(pchunk)
+                cnt = jnp.clip(n - base, 0, i32(pchunk))
+                is_last = c + 1 >= nch
+                nbase = jnp.where(is_last, i32(0), base + i32(pchunk))
+                nrow_sl = jnp.where(is_last, 1 - row_sl, row_sl)
+                ncnt = jnp.clip(jnp.where(is_last, nn, n) - nbase,
+                                0, i32(pchunk))
+                _start_chunk(1 - par, nrow_sl, nbase, ncnt)
+
+                def t_apply(t, cc):
+                    _tile(par, t, tab_s[row_sl, 0, base + t]).wait()
+                    xm = xbuf[tab_s[row_sl, 2, base + t]]
+                    upd = lax.dot_general(
+                        xm, tbuf[par, t],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=dt, precision=hi)
+                    r = tab_s[row_sl, 1, base + t]
+                    x_out[:, r, :] = x_out[:, r, :] - upd
+                    return cc
+
+                lax.fori_loop(0, cnt, t_apply, 0)
+                return 1 - par
+
+            par = lax.fori_loop(0, nch, chunk_body, par)
+
+            gnn = grp(i + 2)
+            _tab(gnn, row_sl, tab_hbm).start()
+            _invs(gnn, row_sl, inv_slot)
+            return par
+
+        par = lax.fori_loop(0, ngr, body, i32(0))
+
+        # drain (same ledger as the per-level kernel, with ngr in
+        # place of bl): ONE unwaited tab pair, TWO unwaited inv sets,
+        # and the final stream prefetch's tiles.
+        sl_last = lax.rem(i32(ngr), i32(2))
+        _tab(grp(i32(ngr - 1)), 1 - sl_last, tab_hbm).wait()
+        _wait_invs(grp(i32(ngr)), sl_last, inv_slot)
+        _wait_invs(grp(i32(ngr + 1)), 1 - sl_last, inv_slot)
+        lax.fori_loop(
+            0, jnp.minimum(nseg_tab[grp(i32(ngr - 1))], i32(pchunk)),
+            lambda t, c: (_tile(par, t, tab_s[sl_last, 0, t]).wait(),
+                          c)[1], 0)
+
+    _sweep(nl_tab, ltab_hbm, 0, False)     # forward (L)
+    _sweep(nuc_tab, uctab_hbm, 1, True)    # backward (U)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "bl", "ngr", "gmax", "npan"))
+def mega_solve_groups(x, tiles, invs, nl_tab, nuc_tab, kseg_tab,
+                      ltab, uctab, *, nb, bl, ngr, gmax, npan):
+    """Entire LUx = b solve in ONE Pallas launch, batched over
+    super-level groups (see :func:`_mega_solve_groups_kernel`)."""
+    dt = x.dtype
+    nrhs = x.shape[0]
+    pchunk = min(max(npan, 1), MEGA_MAX_PANEL)
+    row_w = ltab.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # ltab
+            pl.BlockSpec(memory_space=pltpu.ANY),    # uctab
+            pl.BlockSpec(memory_space=pltpu.ANY),    # tiles
+            pl.BlockSpec(memory_space=pltpu.ANY),    # invs
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, gmax, nb, nb), dt),       # invbuf
+            pltpu.VMEM((2, pchunk, nb, nb), dt),     # tbuf
+            pltpu.VMEM((gmax, nrhs, nb), dt),        # xbuf
+            pltpu.SMEM((2, 3, row_w), jnp.int32),    # tab_s
+            pltpu.SemaphoreType.DMA((2, gmax)),      # sem_inv
+            pltpu.SemaphoreType.DMA((2, pchunk)),    # sem_t
+            pltpu.SemaphoreType.DMA((2,)),           # sem_tab
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mega_solve_groups_kernel, nb=nb, bl=bl,
+                          ngr=ngr, gmax=gmax, npan=npan,
+                          pchunk=pchunk),
+        out_shape=jax.ShapeDtypeStruct(x.shape, dt),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(nl_tab, nuc_tab, kseg_tab, ltab, uctab, tiles, invs, x)
+
+
 def make_backend() -> KernelBackend:
     """Pallas backend: hand-written diag step, jnp for the rest (the
     batched panel/Schur matmuls already hit the MXU optimally through

@@ -229,6 +229,7 @@ class TriangularSolver:
         # enables the single-launch matmul-only solve kernel
         self.inv_tiles = inv_tiles
         self._mega_tables = None
+        self._mega_group_tables = None
         if dispatch == "fused":
             self._fused_args = tuple(
                 jnp.asarray(t) for t in self.schedule.fused_solve_tables(
@@ -324,6 +325,23 @@ class TriangularSolver:
         per_rhs = (bl + 1) * nb * np.dtype(self.blocked.dtype).itemsize
         return max(MEGA_SOLVE_MAX_X_BYTES // per_rhs, 0)
 
+    def _solve_group_worthwhile(self) -> bool:
+        """Batched-group solve pays when the schedule compresses
+        (same heuristic as the factorization engines): the solve's
+        dependent-contraction chain shortens from bl steps to the
+        group count.  Chain schedules (RCM) stay on the per-level
+        kernel.  Override via PANGULU_TPU_SOLVE_GROUP=0/1."""
+        import os
+
+        env = os.environ.get("PANGULU_TPU_SOLVE_GROUP")
+        if env is not None:
+            return env == "1"
+        bl = self.schedule.block_length
+        gmax = 16
+        ng = sum(-(-len(m) // gmax)
+                 for m in self.schedule.superlevels())
+        return bl >= 1.5 * ng
+
     def _solve_mega(self, tiles, b: np.ndarray) -> np.ndarray:
         """Single-launch Pallas solve against the persisted triangle
         inverses (pure MXU contractions; no substitution loops)."""
@@ -343,6 +361,28 @@ class TriangularSolver:
                 [self._solve_mega(tiles, b2[:, c:c + cap])
                  for c in range(0, nrhs, cap)], axis=1)
             return out[:, 0] if squeeze else out
+        invs = self._ensure_inverses(tiles)
+        xh = np.zeros((nrhs, bl + 1, nb), dtype=self.blocked.dtype)
+        xh[:, :bl].reshape(nrhs, bl * nb)[:, : self.blocked.n] = b2.T
+        if self._solve_group_worthwhile():
+            from pangulu_tpu.ops.kernels_pallas import mega_solve_groups
+
+            if self._mega_group_tables is None:
+                t = self.schedule.group_solve_tables(
+                    self.blocked.num_tiles)
+                geo = (t.pop("ngroups"), t.pop("gmax"), t.pop("row_w"))
+                self._mega_group_tables = (
+                    {k: jnp.asarray(v) for k, v in t.items()}, geo)
+            t, (ngr, gmax, row_w) = self._mega_group_tables
+            with self.perf.phase("sptrsv"):
+                x = mega_solve_groups(
+                    jnp.asarray(xh), tiles, invs, t["nl_tab"],
+                    t["nuc_tab"], t["kseg_tab"], t["ltab"], t["uctab"],
+                    nb=nb, bl=bl, ngr=ngr, gmax=gmax, npan=row_w)
+                x = device_sync(x)
+            out = np.asarray(x)[:, :bl].reshape(
+                nrhs, bl * nb)[:, : self.blocked.n].T
+            return out[:, 0] if squeeze else out
         if self._mega_tables is None:
             t = self.schedule.mega_solve_tables(self.blocked.num_tiles)
             npan = max(bucket(max(int(t["nl_tab"].max(initial=0)),
@@ -350,9 +390,6 @@ class TriangularSolver:
             self._mega_tables = (
                 {k: jnp.asarray(v) for k, v in t.items()}, npan)
         t, npan = self._mega_tables
-        invs = self._ensure_inverses(tiles)
-        xh = np.zeros((nrhs, bl + 1, nb), dtype=self.blocked.dtype)
-        xh[:, :bl].reshape(nrhs, bl * nb)[:, : self.blocked.n] = b2.T
         with self.perf.phase("sptrsv"):
             x = mega_solve(jnp.asarray(xh), tiles, invs,
                            t["nl_tab"], t["nuc_tab"], t["lid_tab"],

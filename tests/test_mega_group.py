@@ -149,3 +149,52 @@ def test_group_auto_dispatch_rule():
     fac2 = LUFactorizer(h2.blocked, h2.schedule,
                         backend=get_backend("jax"))
     assert fac2._group_worthwhile()
+
+
+@pytest.mark.parametrize("gen,kw,ordering,nb", [
+    (poisson2d, dict(nx=12), "nd", 16),
+    (smallworld, dict(nx=14), "nd", 16),
+    (poisson2d, dict(nx=8), "rcm", 16),   # singleton groups (G=1)
+])
+def test_group_solve_matches_fused(gen, kw, ordering, nb):
+    """Batched-group mega solve (forced on) must match the XLA fused
+    solve for single and multi RHS, on compressing AND chain
+    schedules."""
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a = gen(**kw)
+    h = init(a, InitOptions(nb=nb, dtype="r32", ordering=ordering))
+    bk = get_backend("pallas", nb=nb, dtype=h.blocked.dtype)
+    fac = LUFactorizer(h.blocked, h.schedule, backend=bk,
+                       dispatch="mega")
+    tiles = fac.factorize()
+    ts = TriangularSolver(h.blocked, h.schedule, backend=bk,
+                          inv_tiles=fac.inv_tiles)
+    import os
+
+    os.environ["PANGULU_TPU_SOLVE_GROUP"] = "1"
+    try:
+        b = np.asarray(h.reordering.reordered.to_scipy()
+                       @ np.ones(a.n), dtype=np.float32)
+        x_grp = ts._solve_mega(jnp.asarray(tiles), b)
+        x_ref = ts.solve(tiles, b)  # XLA fused (mega gated off on CPU)
+        np.testing.assert_allclose(x_grp, x_ref, rtol=1e-4, atol=1e-5)
+        B = np.stack([b, 2 * b, -b], axis=1)
+        np.testing.assert_allclose(
+            ts._solve_mega(jnp.asarray(tiles), B), ts.solve(tiles, B),
+            rtol=1e-4, atol=1e-5)
+    finally:
+        del os.environ["PANGULU_TPU_SOLVE_GROUP"]
+
+
+def test_group_solve_worthwhile_rule():
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    a = poisson2d(12)
+    h = init(a, InitOptions(nb=16, dtype="r32", ordering="nd"))
+    ts = TriangularSolver(h.blocked, h.schedule)
+    assert ts._solve_group_worthwhile()
+    h2 = init(poisson2d(8), InitOptions(nb=16, dtype="r32",
+                                        ordering="rcm"))
+    ts2 = TriangularSolver(h2.blocked, h2.schedule)
+    assert not ts2._solve_group_worthwhile()

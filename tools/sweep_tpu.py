@@ -227,3 +227,32 @@ print(f"{'r64 dd_group nd':22s} n={a.n:7d} dispatch={disp:10s} "
       f"{'OK' if res < 1e-10 and disp == 'dd_group' else 'FAIL'}",
       flush=True)
 finalize(h)
+
+# batched-group mega SOLVE under an aligned-ND schedule (kernel
+# mega_solve_groups: per-group member contractions + packed-tab SMEM
+# DMAs) — compare against the per-level solve for correctness AND rate
+a = poisson3d(20)
+h = init(a, InitOptions(nb=128, dtype="r32", ordering="nd"))
+gstrf(h)
+b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
+os.environ["PANGULU_TPU_SOLVE_GROUP"] = "0"
+h._trisolver._mega_group_tables = None
+x0 = gstrs(h, b)
+res0 = residual_norm(a.to_scipy(), x0, b)
+t0 = time.perf_counter()
+for _ in range(10):
+    x0 = gstrs(h, b)
+dt0 = (time.perf_counter() - t0) / 10
+os.environ["PANGULU_TPU_SOLVE_GROUP"] = "1"
+x1 = gstrs(h, b)
+res1 = residual_norm(a.to_scipy(), x1, b)
+t0 = time.perf_counter()
+for _ in range(10):
+    x1 = gstrs(h, b)
+dt1 = (time.perf_counter() - t0) / 10
+del os.environ["PANGULU_TPU_SOLVE_GROUP"]
+print(f"{'group solve nd p3d20':22s} n={a.n:7d} "
+      f"per-level {dt0*1e3:.2f} ms / grouped {dt1*1e3:.2f} ms "
+      f"residual={res1:.2e} "
+      f"{'OK' if res1 < 1e-4 and res0 < 1e-4 else 'FAIL'}", flush=True)
+finalize(h)
