@@ -134,12 +134,13 @@ def _solve_inv_xla(tiles, invs, x, l_ids, l_rows, uc_ids, uc_rows):
 
 @functools.partial(jax.jit,
                    static_argnames=("nb", "bl", "npan", "iters",
-                                    "use_mega"))
+                                    "use_mega", "ggeo"))
 def _dd_ir_solve(xbh, xbl, a_th, a_tl, th, invh,
                  row_ids, row_cols,
                  l_ids, l_rows, uc_ids, uc_rows,
                  nl_tab, nuc_tab, lid_tab, lrow_tab, ucid_tab, ucrow_tab,
-                 *, nb, bl, npan, iters, use_mega):
+                 gtabs=None,
+                 *, nb, bl, npan, iters, use_mega, ggeo=None):
     """r64 solve at f32-solve speed: device-fused mixed-precision
     iterative refinement.  One dispatch runs (1) an f32 triangular
     solve against the dd factors' HI parts (Pallas mega_solve when
@@ -156,6 +157,17 @@ def _dd_ir_solve(xbh, xbl, a_th, a_tl, th, invh,
 
     def corr(r):
         # f32 solve LU dx = r on the hi factors
+        if use_mega and ggeo is not None:
+            # batched-group solve (compressing schedules)
+            from pangulu_tpu.ops.kernels_pallas import mega_solve_groups
+
+            ngr, gmax, row_w = ggeo
+            xt = jnp.transpose(r, (2, 0, 1))       # [nrhs, bl+1, nb]
+            xt = mega_solve_groups(
+                xt, th, invh, gtabs["nl_tab"], gtabs["nuc_tab"],
+                gtabs["kseg_tab"], gtabs["ltab"], gtabs["uctab"],
+                nb=nb, bl=bl, ngr=ngr, gmax=gmax, npan=row_w)
+            return jnp.transpose(xt, (1, 2, 0))
         if use_mega:
             from pangulu_tpu.ops.kernels_pallas import mega_solve
 
@@ -438,9 +450,14 @@ class TriangularSolver:
         use_mega = (self.backend.name == "pallas"
                     and _jax.default_backend() == "tpu"
                     and self.schedule.nb == 128)
+        gtabs = ggeo = None
+        if use_mega and self._solve_group_worthwhile():
+            gt = self.schedule.group_solve_tables(self.blocked.num_tiles)
+            ggeo = (gt.pop("ngroups"), gt.pop("gmax"), gt.pop("row_w"))
+            gtabs = {k: jnp.asarray(v) for k, v in gt.items()}
         self._dd_ir_state = (a_th, a_tl, jnp.asarray(row_ids),
                              jnp.asarray(row_cols), fused, mega, npan,
-                             use_mega)
+                             use_mega, gtabs, ggeo)
         return self._dd_ir_state
 
     def _solve_dd(self, tiles, b: np.ndarray) -> np.ndarray:
@@ -463,7 +480,7 @@ class TriangularSolver:
         xl = (xb - xh.astype(np.float64)).astype(np.float32)
         if self.dd_solve_method == "ir":
             (a_th, a_tl, row_ids, row_cols, fused, mega, npan,
-             use_mega) = self._ensure_dd_ir_state()
+             use_mega, gtabs, ggeo) = self._ensure_dd_ir_state()
             l_ids, l_rows, uc_ids, uc_rows = fused
             with self.perf.phase("sptrsv"):
                 oh, ol = _dd_ir_solve(
@@ -472,8 +489,9 @@ class TriangularSolver:
                     l_ids, l_rows, uc_ids, uc_rows,
                     mega["nl_tab"], mega["nuc_tab"], mega["lid_tab"],
                     mega["lrow_tab"], mega["ucid_tab"],
-                    mega["ucrow_tab"], nb=nb, bl=bl, npan=npan,
-                    iters=self.dd_ir_iters, use_mega=use_mega)
+                    mega["ucrow_tab"], gtabs, nb=nb, bl=bl, npan=npan,
+                    iters=self.dd_ir_iters, use_mega=use_mega,
+                    ggeo=ggeo)
                 oh = device_sync(oh)
         else:
             _, l_ids, l_rows, uc_ids, uc_rows = (
@@ -529,7 +547,7 @@ class TriangularSolver:
                       else (xb, jnp.zeros_like(xb)))
             invh, invl = self.inv_tiles
             (a_th, a_tl, row_ids, row_cols, fused, mega, npan,
-             use_mega) = self._ensure_dd_ir_state()
+             use_mega, gtabs, ggeo) = self._ensure_dd_ir_state()
             l_ids, l_rows, uc_ids, uc_rows = fused
             nb, bl = self.schedule.nb, self.schedule.block_length
             return _dd_ir_solve(
@@ -537,8 +555,8 @@ class TriangularSolver:
                 l_ids, l_rows, uc_ids, uc_rows,
                 mega["nl_tab"], mega["nuc_tab"], mega["lid_tab"],
                 mega["lrow_tab"], mega["ucid_tab"], mega["ucrow_tab"],
-                nb=nb, bl=bl, npan=npan, iters=self.dd_ir_iters,
-                use_mega=use_mega)
+                gtabs, nb=nb, bl=bl, npan=npan,
+                iters=self.dd_ir_iters, use_mega=use_mega, ggeo=ggeo)
         nrhs = int(xb.shape[-1])
         if self._mega_eligible(nrhs) and nrhs <= self._mega_nrhs_max():
             from pangulu_tpu.ops.kernels_pallas import mega_solve

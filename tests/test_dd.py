@@ -285,3 +285,45 @@ def test_dd_group_engine_matches_dd():
     w = ts.solve(tiles2, ro.transform_b(b))
     x = ro.transform_x(w)
     assert residual_norm(a.to_scipy(), x, b) < 1e-12
+
+
+def test_dd_ir_solve_grouped_correction_matches():
+    """The dd IR solve with the batched-group Pallas correction
+    (interpret mode here; TPU-gated in production) must reach the same
+    f64-class residual as the per-level correction path."""
+    import jax.numpy as jnp
+
+    from pangulu_tpu.schedule import bucket
+    from pangulu_tpu.sptrsv import TriangularSolver, _dd_ir_solve
+
+    a, ro, blocked, schedule = _nd_problem(nb=16, nx=12)
+    fac = LUFactorizer(blocked, schedule, dispatch="dd_group")
+    tiles = fac.factorize()
+    ts = TriangularSolver(blocked, schedule, inv_tiles=fac.inv_tiles)
+    assert ts._solve_group_worthwhile()
+    st = ts._ensure_dd_ir_state()
+    a_th, a_tl, row_ids, row_cols, fused, mega, npan = st[:7]
+    l_ids, l_rows, uc_ids, uc_rows = fused
+    gt = schedule.group_solve_tables(blocked.num_tiles)
+    ggeo = (gt.pop("ngroups"), gt.pop("gmax"), gt.pop("row_w"))
+    gtabs = {k: jnp.asarray(v) for k, v in gt.items()}
+    bl, nb = schedule.block_length, blocked.nb
+    b = np.asarray(ro.reordered.to_scipy() @ np.ones(a.n))
+    xb = np.zeros((bl + 1, nb, 1))
+    xb[:bl].reshape(bl * nb, 1)[: a.n] = b[:, None]
+    xh = xb.astype(np.float32)
+    xl = (xb - xh.astype(np.float64)).astype(np.float32)
+    invh, _ = fac.inv_tiles
+    oh, ol = _dd_ir_solve(
+        jnp.asarray(xh), jnp.asarray(xl), a_th, a_tl, tiles.hi, invh,
+        row_ids, row_cols, l_ids, l_rows, uc_ids, uc_rows,
+        mega["nl_tab"], mega["nuc_tab"], mega["lid_tab"],
+        mega["lrow_tab"], mega["ucid_tab"], mega["ucrow_tab"],
+        gtabs, nb=nb, bl=bl, npan=npan, iters=3, use_mega=True,
+        ggeo=ggeo)
+    x = (np.asarray(oh).astype(np.float64)
+         + np.asarray(ol).astype(np.float64))
+    x = x[:bl].reshape(bl * nb, 1)[: a.n, 0]
+    from pangulu_tpu.utils.perf import residual_norm as _rn
+
+    assert _rn(ro.reordered.to_scipy(), x, b) < 1e-12
