@@ -559,10 +559,28 @@ class TriangularSolver:
                 iters=self.dd_ir_iters, use_mega=use_mega, ggeo=ggeo)
         nrhs = int(xb.shape[-1])
         if self._mega_eligible(nrhs) and nrhs <= self._mega_nrhs_max():
-            from pangulu_tpu.ops.kernels_pallas import mega_solve
+            from pangulu_tpu.ops.kernels_pallas import (
+                mega_solve, mega_solve_groups,
+            )
             from pangulu_tpu.schedule import bucket
 
             bl, nb = self.schedule.block_length, self.schedule.nb
+            invs = self._ensure_inverses(tiles)
+            xt = jnp.transpose(xb, (2, 0, 1))      # [nrhs, bl+1, nb]
+            if self._solve_group_worthwhile():
+                if self._mega_group_tables is None:
+                    t = self.schedule.group_solve_tables(
+                        self.blocked.num_tiles)
+                    geo = (t.pop("ngroups"), t.pop("gmax"),
+                           t.pop("row_w"))
+                    self._mega_group_tables = (
+                        {k: jnp.asarray(v) for k, v in t.items()}, geo)
+                t, (ngr, gmax, row_w) = self._mega_group_tables
+                xt = mega_solve_groups(
+                    xt, tiles, invs, t["nl_tab"], t["nuc_tab"],
+                    t["kseg_tab"], t["ltab"], t["uctab"],
+                    nb=nb, bl=bl, ngr=ngr, gmax=gmax, npan=row_w)
+                return jnp.transpose(xt, (1, 2, 0))
             if self._mega_tables is None:
                 t = self.schedule.mega_solve_tables(self.blocked.num_tiles)
                 npan = max(bucket(max(int(t["nl_tab"].max(initial=0)),
@@ -571,8 +589,6 @@ class TriangularSolver:
                 self._mega_tables = (
                     {k: jnp.asarray(v) for k, v in t.items()}, npan)
             t, npan = self._mega_tables
-            invs = self._ensure_inverses(tiles)
-            xt = jnp.transpose(xb, (2, 0, 1))      # [nrhs, bl+1, nb]
             xt = mega_solve(xt, tiles, invs, t["nl_tab"], t["nuc_tab"],
                             t["lid_tab"], t["lrow_tab"], t["ucid_tab"],
                             t["ucrow_tab"], nb=nb, bl=bl, npan=npan)
