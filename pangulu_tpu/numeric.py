@@ -35,6 +35,7 @@ import numpy as np
 
 from pangulu_tpu.blocks import BlockedMatrix
 from pangulu_tpu.ops.interface import KernelBackend, get_backend
+from pangulu_tpu.ops.kernels_pallas import x32_trace
 from pangulu_tpu.schedule import Schedule, bucket, build_schedule, pad_ids
 from pangulu_tpu.utils import device_sync
 from pangulu_tpu.utils.log import get_logger
@@ -110,6 +111,7 @@ class DdTiles:
         return out.astype(dtype) if dtype is not None else out
 
 
+@x32_trace
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
 def _fused_factorize_dd(nb: int, tol: float, th, tl, diag_idx, l_ids,
                         u_ids, upd_dst, upd_l, upd_u):
@@ -154,6 +156,7 @@ def _fused_factorize_dd(nb: int, tol: float, th, tl, diag_idx, l_ids,
     return jax.lax.fori_loop(0, bl, body, (th, tl, invh, invl))
 
 
+@x32_trace
 @functools.partial(jax.jit, static_argnums=(0, 1),
                    donate_argnums=(2, 3, 4, 5))
 def _group_factorize_dd(nb: int, tol: float, th, tl, invh, invl,

@@ -27,7 +27,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
+
+from pangulu_tpu.ops.kernels_pallas import _fori_loop, x32_trace
 
 f32 = jnp.float32
 
@@ -195,6 +198,7 @@ _J_SEL = tuple(j for _, j in _PAIRS)
 _D_START = [sum(1 for p in _PAIRS if sum(p) < d) for d in range(NSLICE + 1)]
 
 
+@jax.custom_batching.custom_vmap
 def dd_matmul(ah, al, bh, bl):
     """(..., m, k) @ (..., k, n) in dd.
 
@@ -240,6 +244,26 @@ def dd_matmul(ah, al, bh, bl):
         ch, cl = dd_add(ch, cl, part, jnp.zeros_like(part))
     scale = sig_a * sig_b                               # power of two
     return ch * scale, cl * scale
+
+
+@dd_matmul.def_vmap
+def _dd_matmul_vmap(axis_size, in_batched, ah, al, bh, bl):
+    """vmap folds into dd_matmul's native leading batch dims instead of
+    adding dot_general batch dims.  Without this, nested vmap (the
+    batched-group dd engine maps over group members, dd_lu_inverses
+    maps over panel columns inside) produces multi-batch-dim dots that
+    XLA:TPU's dot->conv lowering miscompiles (post-optimization
+    verifier failure: convolution-base-dilated operand shape permuted)
+    and XLA:CPU's dot simplifier rejects outright.  dd_matmul
+    broadcasts leading batch shapes and flattens them to ONE dot batch
+    dim, so the rule just materializes the mapped axis as a size-1
+    leading dim on unbatched operands and recurses — every vmap layer
+    re-flattens."""
+    def lift(x, b):
+        return x if b else x[None]
+    out = dd_matmul(lift(ah, in_batched[0]), lift(al, in_batched[1]),
+                    lift(bh, in_batched[2]), lift(bl, in_batched[3]))
+    return out, (True, True)
 
 
 # ---------------------------------------------------------------------------
@@ -324,10 +348,13 @@ def _dd_scan_math(ah, al, *, nb, tol):
     cols_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     diag_m = rows_f == cols_f
     lower_m = rows_f > cols_f
-    # python literals, NOT jnp scalars: inside a pallas_call trace a
-    # jnp scalar becomes a captured array constant, which Mosaic rejects
-    z = float(0.0)
-    tol = float(tol)
+    # np.float32 scalars, NOT jnp scalars (a jnp scalar inside a
+    # pallas_call trace becomes a captured array constant, which Mosaic
+    # rejects) and NOT Python floats (under jax_enable_x64 — flipped by
+    # any r64 init — a weak Python float materializes as an f64
+    # constant whose f64->f32 truncf Mosaic cannot legalize)
+    z = np.float32(0.0)
+    tol = np.float32(tol)
 
     def lu_body(k, f):
         fh, fl = f
@@ -355,7 +382,7 @@ def _dd_scan_math(ah, al, *, nb, tol):
         ph, pl = dd_mul(lch, lcl, urh, url)   # broadcast outer product
         return dd_sub(fh, fl, ph, pl)
 
-    fh, fl = lax.fori_loop(0, nb, lu_body, (ah, al))
+    fh, fl = _fori_loop(0, nb, lu_body, (ah, al))
     # finalize: scale L columns by 1/pivot, clamp diagonal
     dvh = jnp.sum(jnp.where(diag_m, fh, z), axis=0, keepdims=True)
     dvl = jnp.sum(jnp.where(diag_m, fl, z), axis=0, keepdims=True)
@@ -370,6 +397,7 @@ def _dd_scan_math(ah, al, *, nb, tol):
     return fh, fl
 
 
+@x32_trace
 def dd_lu_scan_pallas(ah, al, *, nb, tol):
     """The rank-1 dd LU scan as ONE Pallas kernel (VMEM-resident tile,
     fused EFT chains).  The XLA version of the same loop is
@@ -476,7 +504,7 @@ def dd_blocked_residual(ath, atl, row_ids, row_cols, xh, xl, bh, bl_):
         nh, nl = dd_sub(rh[:nbl], rl[:nbl], ph, pl)
         return rh.at[:nbl].set(nh), rl.at[:nbl].set(nl)
 
-    return lax.fori_loop(0, w_count, body, (rh, rl))
+    return _fori_loop(0, w_count, body, (rh, rl))
 
 
 def dd_tri_inv_lower_unit(lh, ll):

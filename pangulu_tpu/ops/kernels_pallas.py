@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -47,6 +49,72 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def x32_trace(fn):
+    """Trace ``fn``'s body with 32-bit jnp defaults regardless of the
+    global ``jax_enable_x64`` state (flipped on by any r64/cr64 init
+    and by the test conftest).
+
+    Mosaic has no i64/f64: under x64, Python-int literals in kernel
+    code become i64 memref/semaphore indices and Python floats become
+    f64 constants, all of which fail to lower (observed: tpu.truncf
+    f64->f32 'failed to legalize', i64 semaphore memref_slice verifier
+    error, and an infinite _convert_element_type recursion).  Every
+    input of a wrapped engine is an explicitly-typed <=32-bit array,
+    so 32-bit trace semantics are identical — this simply restores the
+    x64=off defaults the kernels were designed under.  If a 64-bit
+    array leaf is passed (the portable CPU f64 engines share some
+    entry points), the context is skipped: inside it, explicit f64
+    dtypes would silently truncate.  Off-TPU the context is skipped
+    entirely: interpret-mode Pallas handles i64/f64 fine, and the dd
+    engines' CPU branch RELIES on explicit f64 upcasts (x32 would
+    silently truncate them back to f32 — observed as a dd residual
+    collapsing from 1e-13 to 3e-7)."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        if jax.default_backend() != "tpu":
+            return fn(*args, **kwargs)
+        leaves = jax.tree_util.tree_leaves((args, kwargs))
+        if any(getattr(getattr(x, "dtype", None), "itemsize", 0) == 8
+               for x in leaves):
+            return fn(*args, **kwargs)
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+    # forward the jit wrapper's cache-control surface (tests use it)
+    for attr in ("clear_cache", "lower", "trace", "eval_shape"):
+        if hasattr(fn, attr):
+            setattr(wrapped, attr, getattr(fn, attr))
+    return wrapped
+
+
+def _fori_loop(lo, hi, body, init):
+    """``lax.fori_loop`` with i32-coerced Python-int bounds.
+
+    Under ``jax_enable_x64`` (flipped globally by any r64/cr64 init)
+    Python-int bounds make the loop counter int64; comparing it against
+    i32 iotas inside a Mosaic kernel then emits an i32->i64
+    ``convert_element_type`` whose fallback lowering recurses forever
+    (jax 0.9.0 ``_convert_helper`` re-emits the same primitive).  Typed
+    bounds do NOT help: fori_loop's static-bounds path converts them to
+    Python ints and builds a scan whose counter is the default int —
+    i64 under x64.  So for static bounds we build the same scan with
+    our own i32 carry counter; traced i32 bounds pass through (the
+    while_loop path takes its dtype from the operands).  Use this for
+    EVERY loop that may trace inside a pallas kernel."""
+    if isinstance(lo, (int, np.integer)) and isinstance(hi, (int, np.integer)):
+        n = int(hi) - int(lo)
+        if n <= 0:
+            return init
+
+        def step(c, _):
+            k, state = c
+            return (k + np.int32(1), body(k, state)), None
+
+        (_, out), _ = lax.scan(step, (np.int32(int(lo)), init), None,
+                               length=n)
+        return out
+    return lax.fori_loop(lo, hi, body, init)
+
+
 def _lu_scan_step(f, k, *, nb, tol):
     """One rank-1 elimination step of the in-kernel unpivoted LU.
 
@@ -59,6 +127,8 @@ def _lu_scan_step(f, k, *, nb, tol):
     so the super-level kernel can advance a NEXT level's scan one step
     at a time interleaved with the current level's Schur dots."""
     dt = f.dtype
+    tol = np.dtype(dt).type(tol)  # strong scalar: a weak Python float
+    # materializes as an f64 constant under x64 (untype-able truncf in Mosaic)
     rows = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
     rows_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
@@ -83,6 +153,8 @@ def _lu_finalize(f, *, nb, tol):
     1/pivot (with the reference's tiny-pivot substitution) and clamp
     the diagonal."""
     dt = f.dtype
+    tol = np.dtype(dt).type(tol)
+    one = np.dtype(dt).type(1)
     lower_m = lax.broadcasted_iota(jnp.int32, (nb, nb), 0) > \
         lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     dvec0 = jnp.sum(jnp.where(
@@ -90,7 +162,7 @@ def _lu_finalize(f, *, nb, tol):
         == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
         f, jnp.zeros((), dt)), axis=0, keepdims=True)   # (1, nb)
     dsafe0 = jnp.where(jnp.abs(dvec0) < tol, jnp.asarray(tol, dt), dvec0)
-    f = jnp.where(lower_m, f * (1.0 / dsafe0), f)
+    f = jnp.where(lower_m, f * (one / dsafe0), f)
     return jnp.where(lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
                      == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
                      dsafe0, f)
@@ -100,7 +172,7 @@ def _lu_inverses(a, *, nb, tol):
     """Pure value-level body: unpivoted LU of one VMEM-resident tile +
     exact Newton-doubling triangle inverses.  Shared by the standalone
     diag kernel and the whole-factorization mega-kernels."""
-    f = lax.fori_loop(
+    f = _fori_loop(
         0, nb, lambda k, f: _lu_scan_step(f, k, nb=nb, tol=tol), a)
     f = _lu_finalize(f, nb=nb, tol=tol)
     linv, uinv = _newton_inverses(f, nb=nb, tol=tol)
@@ -111,6 +183,9 @@ def _newton_inverses(f, *, nb, tol):
     """Exact Newton–Schulz doubling triangle inverses of a packed
     factor (MXU; log2(nb) interleaved matmul pairs)."""
     dt = f.dtype
+    tol = np.dtype(dt).type(tol)
+    one = np.dtype(dt).type(1)
+    two = np.dtype(dt).type(2)
     eye = jnp.where(
         lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
         == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
@@ -121,7 +196,7 @@ def _newton_inverses(f, *, nb, tol):
     upper = lax.broadcasted_iota(jnp.int32, (nb, nb), 0) < \
         lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
     lmat = jnp.where(lower, f, jnp.zeros((), dt)) + eye
-    x = 2 * eye - lmat
+    x = two * eye - lmat
 
     # Mosaic only lowers DEFAULT/HIGHEST dot precision — pin HIGHEST so
     # an ambient jax.default_matmul_precision("high") context (legal
@@ -134,20 +209,20 @@ def _newton_inverses(f, *, nb, tol):
         == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
         f, jnp.zeros((), dt)), axis=0, keepdims=True)  # (1, nb) diagonal
     dsafe = jnp.where(jnp.abs(dvec) < tol, jnp.asarray(tol, dt), dvec)
-    dinv_row = 1.0 / dsafe                     # (1, nb)
+    dinv_row = one / dsafe                     # (1, nb)
     m = jnp.where(upper, f, jnp.zeros((), dt)) * (dinv_row.T)  # D^-1 R
     umat = eye + m
-    y = 2 * eye - umat
+    y = two * eye - umat
 
     # interleave the two (independent) doubling chains so the scheduler
     # can pipeline their MXU dots
     def newton_both(_, carry):
         x, y = carry
-        x = _dot(x, 2 * eye - _dot(lmat, x))
-        y = _dot(y, 2 * eye - _dot(umat, y))
+        x = _dot(x, two * eye - _dot(lmat, x))
+        y = _dot(y, two * eye - _dot(umat, y))
         return x, y
 
-    linv, y = lax.fori_loop(0, steps, newton_both, (x, y))
+    linv, y = _fori_loop(0, steps, newton_both, (x, y))
     return linv, y * dinv_row
 
 
@@ -158,6 +233,7 @@ def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
     uinv_ref[:, :] = uinv
 
 
+@x32_trace
 @functools.partial(jax.jit, static_argnames=("tol",))
 def getrf_with_inverses(a, tol=None):
     """Fused diagonal step as one Pallas kernel: (f, L^-1, U^-1)."""
@@ -352,18 +428,18 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         # hoist the FIRST Schur chunk's dst loads: dst tiles are
         # disjoint from this level's diag/panel tiles, so they stream in
         # under the diag DMA + LU + panel work
-        lax.fori_loop(0, jnp.minimum(nup, i32(uch)),
+        _fori_loop(0, jnp.minimum(nup, i32(uch)),
                       lambda j, c: (pltpu.make_async_copy(
                           tiles_out.at[udst_at(i32(0), j)],
                           dstbuf.at[j], sem_di.at[j]).start(), c)[1], 0)
         # prefetch the FIRST panel chunks: they load while the diag DMA
         # and the LU + inverse compute run
-        lax.fori_loop(0, jnp.minimum(nl, pch),
+        _fori_loop(0, jnp.minimum(nl, pch),
                       lambda i, c: (pltpu.make_async_copy(
                           tiles_out.at[lid_row[i]],
                           lpan.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
                           sem_l.at[i]).start(), c)[1], 0)
-        lax.fori_loop(0, jnp.minimum(nu, pch),
+        _fori_loop(0, jnp.minimum(nu, pch),
                       lambda i, c: (pltpu.make_async_copy(
                           tiles_out.at[uid_row[i]],
                           upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
@@ -403,16 +479,16 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
 
             @pl.when(lc > 0)  # chunk 0 inputs are already in flight
             def _():
-                lax.fori_loop(0, cnt,
+                _fori_loop(0, cnt,
                               lambda i, c: (_l_copy(i, base, False).start(),
                                             c)[1], 0)
 
-            lax.fori_loop(0, cnt,
+            _fori_loop(0, cnt,
                           lambda i, c: (_l_copy(i, base, False).wait(), c)[1], 0)
             # one flat matmul (garbage in padded rows never written back)
             lpan[:, :] = jnp.dot(lpan[:, :], uinv_b[:, :],
                                  preferred_element_type=dt, precision=hi)
-            lax.fori_loop(0, cnt,
+            _fori_loop(0, cnt,
                           lambda i, c: (_l_copy(i, base, True).start(), c)[1], 0)
 
             # multi-chunk levels must land writebacks before the next
@@ -421,13 +497,13 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
             # wait to the level barrier (overlaps the whole Schur phase)
             @pl.when(nlc > 1)
             def _():
-                lax.fori_loop(0, cnt,
+                _fori_loop(0, cnt,
                               lambda i, c: (_l_copy(i, base, True).wait(),
                                             c)[1], 0)
 
             return c
 
-        lax.fori_loop(0, nlc, l_chunk, 0)
+        _fori_loop(0, nlc, l_chunk, 0)
 
         def _u_copy(i, base, outward):
             src = upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)]
@@ -442,26 +518,26 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
 
             @pl.when(uc > 0)  # chunk 0 inputs are already in flight
             def _():
-                lax.fori_loop(0, cnt,
+                _fori_loop(0, cnt,
                               lambda i, c: (_u_copy(i, base, False).start(),
                                             c)[1], 0)
 
-            lax.fori_loop(0, cnt,
+            _fori_loop(0, cnt,
                           lambda i, c: (_u_copy(i, base, False).wait(), c)[1], 0)
             upan[:, :] = jnp.dot(linv_b[:, :], upan[:, :],
                                  preferred_element_type=dt, precision=hi)
-            lax.fori_loop(0, cnt,
+            _fori_loop(0, cnt,
                           lambda i, c: (_u_copy(i, base, True).start(), c)[1], 0)
 
             @pl.when(nuc > 1)
             def _():
-                lax.fori_loop(0, cnt,
+                _fori_loop(0, cnt,
                               lambda i, c: (_u_copy(i, base, True).wait(),
                                             c)[1], 0)
 
             return c
 
-        lax.fori_loop(0, nuc, u_chunk, 0)
+        _fori_loop(0, nuc, u_chunk, 0)
 
         # ---- Schur updates, chunks of ``uch`` -------------------------
         # After phase 1 the LAST panel chunks are VMEM-resident; updates
@@ -501,7 +577,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                                           sem_di.at[j]).start()
                     return cc
 
-                lax.fori_loop(0, cnt, d_in, 0)
+                _fori_loop(0, cnt, d_in, 0)
 
             def d_compute(j, cur):
                 cur_uc, cur_lc, cur_l, sj = cur
@@ -528,7 +604,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                             sem_u.at[i]).start()
                         return c
 
-                    lax.fori_loop(0, ucnt, rin, 0)
+                    _fori_loop(0, ucnt, rin, 0)
 
                     def rwait(i, c):
                         pltpu.make_async_copy(
@@ -538,7 +614,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                             sem_u.at[i]).wait()
                         return c
 
-                    lax.fori_loop(0, ucnt, rwait, 0)
+                    _fori_loop(0, ucnt, rwait, 0)
 
                 @pl.when(lc_ch)
                 def _():
@@ -553,7 +629,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                             sem_l.at[i]).start()
                         return c
 
-                    lax.fori_loop(0, lcnt, rin, 0)
+                    _fori_loop(0, lcnt, rin, 0)
 
                     def rwait(i, c):
                         pltpu.make_async_copy(
@@ -563,7 +639,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                             sem_l.at[i]).wait()
                         return c
 
-                    lax.fori_loop(0, lcnt, rwait, 0)
+                    _fori_loop(0, lcnt, rwait, 0)
 
                 recompute = (li != cur_l) | uc_ch | lc_ch
                 # width of the resident U chunk actually populated
@@ -606,7 +682,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                                       sem_do.at[j]).start()
                 return (ucj, lcj, li, sj + 1)
 
-            cur = lax.fori_loop(0, cnt, d_compute, cur)
+            cur = _fori_loop(0, cnt, d_compute, cur)
 
             # the LAST chunk's writeback waits defer to the level
             # barrier (they overlap the remaining level work); earlier
@@ -619,12 +695,12 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                                           sem_do.at[j]).wait()
                     return cc
 
-                lax.fori_loop(0, cnt, d_wait, 0)
+                _fori_loop(0, cnt, d_wait, 0)
 
             return cur
 
         nchunks = lax.div(nup + i32(uch - 1), i32(uch))
-        cur_end = lax.fori_loop(0, nchunks, chunk, cur0)
+        cur_end = _fori_loop(0, nchunks, chunk, cur0)
         sj_end = cur_end[3]
 
         # ---- chain-ahead completion ------------------------------------
@@ -636,7 +712,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
             # tail: VALUE-carried fori (per-step ref round trips cost
             # ~2x; leaf-ish levels with few updates leave most of the
             # scan to this tail)
-            f2 = lax.fori_loop(
+            f2 = _fori_loop(
                 jnp.minimum(sj_end, i32(nb)), i32(nb),
                 lambda s, f: _lu_scan_step(f, s, nb=nb, tol=tol),
                 fbuf2[:, :])
@@ -667,7 +743,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         def _():
             last = nup - (nchunks - 1) * i32(uch)
             c_last = jnp.maximum(nchunks - 1, i32(0))
-            lax.fori_loop(0, last,
+            _fori_loop(0, last,
                           lambda j, c: (pltpu.make_async_copy(
                               dstbuf.at[j],
                               tiles_out.at[udst_at(c_last, j)],
@@ -676,12 +752,12 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         # single-chunk panel writebacks deferred from phase 1
         @pl.when(nlc == 1)
         def _():
-            lax.fori_loop(0, nl,
+            _fori_loop(0, nl,
                           lambda i, c: (_l_copy(i, 0, True).wait(), c)[1], 0)
 
         @pl.when(nuc == 1)
         def _():
-            lax.fori_loop(0, nu,
+            _fori_loop(0, nu,
                           lambda i, c: (_u_copy(i, 0, True).wait(), c)[1], 0)
 
         # every write affecting diag(k+1) has landed: prefetch it now so
@@ -695,7 +771,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
 
         return carry
 
-    lax.fori_loop(0, bl, level, 0)
+    _fori_loop(0, bl, level, 0)
     _row_copy(i32(bl - 1), lax.rem(i32(bl), i32(2))).wait()
 
     # drain the final diag prefetch (issued by the last barrier only
@@ -712,6 +788,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
 MEGA_MAX_PANEL = 32
 
 
+@x32_trace
 @functools.partial(jax.jit,
                    static_argnames=("nb", "tol", "bl", "pch", "uch"),
                    donate_argnums=(0,))
@@ -850,6 +927,7 @@ def _scan_step_3d(f, k, *, g, nb, tol):
     broadcast of :func:`_lu_scan_step` (member axis leading; masks and
     reductions act on the trailing two dims)."""
     dt = f.dtype
+    tol = np.dtype(dt).type(tol)
     rows_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 1)
     cols_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 2)
     rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
@@ -870,6 +948,8 @@ def _scan_step_3d(f, k, *, g, nb, tol):
 def _lu_finalize_3d(f, *, g, nb, tol):
     """Batched :func:`_lu_finalize` over (g, nb, nb)."""
     dt = f.dtype
+    tol = np.dtype(dt).type(tol)
+    one = np.dtype(dt).type(1)
     rows_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 1)
     cols_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 2)
     lower_m = rows_f > cols_f
@@ -877,7 +957,7 @@ def _lu_finalize_3d(f, *, g, nb, tol):
                     axis=1, keepdims=True)          # (g, 1, nb)
     dsafe0 = jnp.where(jnp.abs(dvec0) < tol, jnp.asarray(tol, dt),
                        dvec0)
-    f = jnp.where(lower_m, f * (1.0 / dsafe0), f)
+    f = jnp.where(lower_m, f * (one / dsafe0), f)
     return jnp.where(rows_f == cols_f, dsafe0, f)
 
 
@@ -936,7 +1016,7 @@ def _group_kernel(gs_tab, nup_tab,
                                   fb3.at[m], sem_diag.at[m]).start()
             return c
 
-        lax.fori_loop(0, cnt, d, 0)
+        _fori_loop(0, cnt, d, 0)
 
     _diag_prefetch(0, gs_tab[0])
 
@@ -1001,7 +1081,7 @@ def _group_kernel(gs_tab, nup_tab,
 
             return c
 
-        lax.fori_loop(0, jnp.minimum(nup, i32(uch)), d_in0, 0)
+        _fori_loop(0, jnp.minimum(nup, i32(uch)), d_in0, 0)
 
         # ---- batched diagonal step ------------------------------------
         def d_wait(m, c):
@@ -1009,8 +1089,8 @@ def _group_kernel(gs_tab, nup_tab,
                                   sem_diag.at[m]).wait()
             return c
 
-        lax.fori_loop(0, gs, d_wait, 0)
-        f3 = lax.fori_loop(
+        _fori_loop(0, gs, d_wait, 0)
+        f3 = _fori_loop(
             0, nb, lambda k, f: _scan_step_3d(f, k, g=gmax, nb=nb,
                                               tol=tol),
             fb3[:, :, :])
@@ -1032,7 +1112,7 @@ def _group_kernel(gs_tab, nup_tab,
                                   sem_inv.at[m, 1]).start()
             return c
 
-        lax.fori_loop(0, gs, newton_m, 0)
+        _fori_loop(0, gs, newton_m, 0)
 
         # ---- panel solves, per member, chunked ------------------------
         def _pan_copy(i, base, outward, is_l):
@@ -1058,43 +1138,43 @@ def _group_kernel(gs_tab, nup_tab,
             def l_chunk(lc, c):
                 base = l0 + lc * pch
                 cnt = jnp.minimum(nl_m - lc * pch, pch)
-                lax.fori_loop(0, cnt, lambda i, c: (
+                _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, False, True).start(), c)[1], 0)
-                lax.fori_loop(0, cnt, lambda i, c: (
+                _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, False, True).wait(), c)[1], 0)
                 lpan[:, :] = jnp.dot(lpan[:, :], uinv3[m],
                                      preferred_element_type=dt,
                                      precision=hi)
-                lax.fori_loop(0, cnt, lambda i, c: (
+                _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, True, True).start(), c)[1], 0)
                 # waits stay inline: the buffer is reused by the next
                 # chunk/member and the update stream reloads from HBM
-                lax.fori_loop(0, cnt, lambda i, c: (
+                _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, True, True).wait(), c)[1], 0)
                 return c
 
-            lax.fori_loop(0, nlc, l_chunk, 0)
+            _fori_loop(0, nlc, l_chunk, 0)
 
             def u_chunk(uc, c):
                 base = u0 + uc * pch
                 cnt = jnp.minimum(nu_m - uc * pch, pch)
-                lax.fori_loop(0, cnt, lambda i, c: (
+                _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, False, False).start(), c)[1], 0)
-                lax.fori_loop(0, cnt, lambda i, c: (
+                _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, False, False).wait(), c)[1], 0)
                 upan[:, :] = jnp.dot(linv3[m], upan[:, :],
                                      preferred_element_type=dt,
                                      precision=hi)
-                lax.fori_loop(0, cnt, lambda i, c: (
+                _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, True, False).start(), c)[1], 0)
-                lax.fori_loop(0, cnt, lambda i, c: (
+                _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, True, False).wait(), c)[1], 0)
                 return c
 
-            lax.fori_loop(0, nuc, u_chunk, 0)
+            _fori_loop(0, nuc, u_chunk, 0)
             return c
 
-        lax.fori_loop(0, gs, member_panels, 0)
+        _fori_loop(0, gs, member_panels, 0)
 
         # ---- Schur updates, chunks of ``uch`` -------------------------
         # cur0 forces the first (uc, lc) reload: per-member panel
@@ -1130,7 +1210,7 @@ def _group_kernel(gs_tab, nup_tab,
 
                     return cc
 
-                lax.fori_loop(0, cnt, d_in, 0)
+                _fori_loop(0, cnt, d_in, 0)
 
             def d_compute(j, cur):
                 cur_uc, cur_lc, cur_l = cur
@@ -1152,10 +1232,10 @@ def _group_kernel(gs_tab, nup_tab,
                 def _():
                     ub = ucj * pch
                     ucnt = jnp.minimum(nu_tot - ub, pch)
-                    lax.fori_loop(0, ucnt, lambda i, cc: (
+                    _fori_loop(0, ucnt, lambda i, cc: (
                         _pan_copy(i, ub, False, False).start(),
                         cc)[1], 0)
-                    lax.fori_loop(0, ucnt, lambda i, cc: (
+                    _fori_loop(0, ucnt, lambda i, cc: (
                         _pan_copy(i, ub, False, False).wait(),
                         cc)[1], 0)
 
@@ -1163,10 +1243,10 @@ def _group_kernel(gs_tab, nup_tab,
                 def _():
                     lb = lcj * pch
                     lcnt = jnp.minimum(nl_tot - lb, pch)
-                    lax.fori_loop(0, lcnt, lambda i, cc: (
+                    _fori_loop(0, lcnt, lambda i, cc: (
                         _pan_copy(i, lb, False, True).start(),
                         cc)[1], 0)
-                    lax.fori_loop(0, lcnt, lambda i, cc: (
+                    _fori_loop(0, lcnt, lambda i, cc: (
                         _pan_copy(i, lb, False, True).wait(),
                         cc)[1], 0)
 
@@ -1203,7 +1283,7 @@ def _group_kernel(gs_tab, nup_tab,
 
                 return (ucj, lcj, li)
 
-            cur = lax.fori_loop(0, cnt, d_compute, cur)
+            cur = _fori_loop(0, cnt, d_compute, cur)
 
             # earlier chunks must land before their slots are reused;
             # the LAST chunk's waits defer to the group barrier
@@ -1221,12 +1301,12 @@ def _group_kernel(gs_tab, nup_tab,
 
                     return cc
 
-                lax.fori_loop(0, cnt, d_wait2, 0)
+                _fori_loop(0, cnt, d_wait2, 0)
 
             return cur
 
         nchunks = lax.div(nup + i32(uch - 1), i32(uch))
-        lax.fori_loop(0, nchunks, chunk, cur0)
+        _fori_loop(0, nchunks, chunk, cur0)
 
         # ---- group barrier --------------------------------------------
         def bar_m(m, c):
@@ -1240,7 +1320,7 @@ def _group_kernel(gs_tab, nup_tab,
                                   sem_inv.at[m, 1]).wait()
             return c
 
-        lax.fori_loop(0, gs, bar_m, 0)
+        _fori_loop(0, gs, bar_m, 0)
 
         @pl.when(nup > 0)
         def _():
@@ -1259,7 +1339,7 @@ def _group_kernel(gs_tab, nup_tab,
 
                 return cc
 
-            lax.fori_loop(0, last, d_wait3, 0)
+            _fori_loop(0, last, d_wait3, 0)
 
         # next group's row has been in flight since body start: wait it
         # and start its diag DMAs (every write they read landed above)
@@ -1270,9 +1350,10 @@ def _group_kernel(gs_tab, nup_tab,
 
         return carry
 
-    lax.fori_loop(0, ng, group, 0)
+    _fori_loop(0, ng, group, 0)
 
 
+@x32_trace
 @functools.partial(jax.jit,
                    static_argnames=("nb", "tol", "ng", "gmax", "pch",
                                     "uch", "bl"),
@@ -1400,7 +1481,7 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
                                      tbuf.at[sl, i], sem_t.at[sl, i])
 
     def _start_chunk(tb_sl, row_sl, base, cnt):
-        lax.fori_loop(
+        _fori_loop(
             0, cnt,
             lambda t, c: (_tile(tb_sl, t,
                                 id_s[row_sl, base + t]).start(), c)[1],
@@ -1466,10 +1547,10 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
                     x_out[:, r, :] = x_out[:, r, :] - upd
                     return cc
 
-                lax.fori_loop(0, cnt, t_apply, 0)
+                _fori_loop(0, cnt, t_apply, 0)
                 return 1 - par
 
-            par = lax.fori_loop(0, nch, chunk_body, par)
+            par = _fori_loop(0, nch, chunk_body, par)
 
             # rows+inv for level i+2 reuse row slot row_sl (now free)
             knn = lvl(i + 2)
@@ -1478,7 +1559,7 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
             _inv(knn, row_sl, inv_slot).start()
             return par
 
-        par = lax.fori_loop(0, bl, body, i32(0))
+        par = _fori_loop(0, bl, body, i32(0))
 
         # drain (semaphore balance).  Start/wait ledger per sweep:
         #   rows:  starts = bl + 2 (prologue 2, one per body);
@@ -1493,7 +1574,7 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
             c.wait()
         _inv(lvl(i32(bl - 1)), sl_last, inv_slot).wait()
         _inv(lvl(i32(bl - 1)), 1 - sl_last, inv_slot).wait()
-        lax.fori_loop(
+        _fori_loop(
             0, jnp.minimum(nseg_tab[lvl(i32(bl - 1))], i32(pchunk)),
             lambda t, c: (_tile(par, t, id_s[sl_last, t]).wait(),
                           c)[1], 0)
@@ -1507,6 +1588,7 @@ def _mega_solve_kernel(nl_tab, nuc_tab, lid_hbm, lrow_hbm, ucid_hbm,
 MEGA_SOLVE_MAX_X_BYTES = 24 * 2 ** 20
 
 
+@x32_trace
 @functools.partial(jax.jit,
                    static_argnames=("nb", "bl", "npan"))
 def mega_solve(x, tiles, invs, nl_tab, nuc_tab, lid_tab, lrow_tab,
@@ -1606,7 +1688,7 @@ def _mega_solve_groups_kernel(nl_tab, nuc_tab, kseg_tab, ltab_hbm,
                                      tbuf.at[sl, i], sem_t.at[sl, i])
 
     def _start_chunk(tb_sl, row_sl, base, cnt):
-        lax.fori_loop(
+        _fori_loop(
             0, cnt,
             lambda t, c: (_tile(tb_sl, t,
                                 tab_s[row_sl, 0, base + t]).start(),
@@ -1673,17 +1755,17 @@ def _mega_solve_groups_kernel(nl_tab, nuc_tab, kseg_tab, ltab_hbm,
                     x_out[:, r, :] = x_out[:, r, :] - upd
                     return cc
 
-                lax.fori_loop(0, cnt, t_apply, 0)
+                _fori_loop(0, cnt, t_apply, 0)
                 return 1 - par
 
-            par = lax.fori_loop(0, nch, chunk_body, par)
+            par = _fori_loop(0, nch, chunk_body, par)
 
             gnn = grp(i + 2)
             _tab(gnn, row_sl, tab_hbm).start()
             _invs(gnn, row_sl, inv_slot)
             return par
 
-        par = lax.fori_loop(0, ngr, body, i32(0))
+        par = _fori_loop(0, ngr, body, i32(0))
 
         # drain (same ledger as the per-level kernel, with ngr in
         # place of bl): ONE unwaited tab pair, TWO unwaited inv sets,
@@ -1692,7 +1774,7 @@ def _mega_solve_groups_kernel(nl_tab, nuc_tab, kseg_tab, ltab_hbm,
         _tab(grp(i32(ngr - 1)), 1 - sl_last, tab_hbm).wait()
         _wait_invs(grp(i32(ngr)), sl_last, inv_slot)
         _wait_invs(grp(i32(ngr + 1)), 1 - sl_last, inv_slot)
-        lax.fori_loop(
+        _fori_loop(
             0, jnp.minimum(nseg_tab[grp(i32(ngr - 1))], i32(pchunk)),
             lambda t, c: (_tile(par, t, tab_s[sl_last, 0, t]).wait(),
                           c)[1], 0)
@@ -1701,6 +1783,7 @@ def _mega_solve_groups_kernel(nl_tab, nuc_tab, kseg_tab, ltab_hbm,
     _sweep(nuc_tab, uctab_hbm, 1, True)    # backward (U)
 
 
+@x32_trace
 @functools.partial(jax.jit,
                    static_argnames=("nb", "bl", "ngr", "gmax", "npan"))
 def mega_solve_groups(x, tiles, invs, nl_tab, nuc_tab, kseg_tab,

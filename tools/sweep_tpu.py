@@ -235,8 +235,7 @@ a = poisson3d(20)
 h = init(a, InitOptions(nb=128, dtype="r32", ordering="nd"))
 gstrf(h)
 b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
-os.environ["PANGULU_TPU_SOLVE_GROUP"] = "0"
-h._trisolver._mega_group_tables = None
+os.environ["PANGULU_TPU_SOLVE_GROUP"] = "0"  # checked per solve call
 x0 = gstrs(h, b)
 res0 = residual_norm(a.to_scipy(), x0, b)
 t0 = time.perf_counter()
