@@ -8,8 +8,8 @@ per PHASE:
   * :func:`mega_factorize` — the ENTIRE numeric factorization in one
     pallas_call: tiles resident in HBM; per elimination level the
     kernel streams its index tables HBM->SMEM (double-buffered), DMAs
-    the diagonal tile to VMEM, runs the rank-1 LU + Newton-doubling
-    triangle inverses in-core, solves L/U panels in VMEM chunks as
+    the diagonal tile to VMEM, runs the rank-1 LU + triangle
+    inverses in-core, solves L/U panels in VMEM chunks as
     flat MXU matmuls, and applies Schur updates sorted by (u-chunk,
     l-chunk, l) so one row-product dot serves all updates sharing an
     L block.  The inverses are persisted for the solve.
@@ -24,7 +24,13 @@ Design notes:
     (Mosaic lane slicing must be 128-aligned) and defers L scaling to
     one whole-triangle pass at the end;
   * triangle inverses use exact Newton–Schulz doubling — log2(nb)
-    MXU matmul pairs (see kernels_jax.unit_lower_inv_newton);
+    MXU matmul pairs (see kernels_jax.unit_lower_inv_newton).  The
+    scan-RESIDENT alternative (Gauss–Jordan products accumulated
+    inside the rank-1 scan, _lu_scan_step_aug, PANGULU_MEGA_INV=scan)
+    is implemented and exact but MEASURED SLOWER on v5e: the scan is
+    VPU-bandwidth-bound, not latency-bound, so tripling its live
+    state costs more than Newton's MXU dots (bench A/B r3: chain
+    12.0 -> 12.8 ms, batched-group diag phase 6.3 -> 14.3 ms);
   * off the TPU the kernels run in interpreter mode so every engine is
     testable everywhere (tests pin them against the XLA engines).
 """
@@ -148,6 +154,87 @@ def _lu_scan_step(f, k, *, nb, tol):
     return f - lcol * urow
 
 
+def _lu_scan_step_aug(c, k, *, nb, tol):
+    """Rank-1 LU step with SCAN-RESIDENT triangle inverses: the same
+    elimination as :func:`_lu_scan_step` plus Gauss–Jordan accumulation
+    of L^-1 and of Utilde^-T (U = D·Utilde), all VPU work riding the
+    scan's existing extractions.
+
+    Identities (exact; verified against numpy inverses):
+      L     = (I+l_0 e_0^T)(I+l_1 e_1^T)...          (column overlay)
+      L^-1  = (I-l_{nb-1} e^T)...(I-l_0 e_0^T)
+            -> G <- G - l_k * G[k,:]   (forward, G_0 = I)
+      Utilde^-1 = (I-m_1 e_1^T)(I-m_2 e_2^T)...,  m_k = col k of D^-1 R
+      tracked TRANSPOSED so both extractions are row-cheap:
+            -> V <- V - e_k (m_k^T V)  (forward, V_0 = I)
+      U^-1  = V^T D^-1  (one MXU transpose-dot at the end).
+
+    Replaces the 2*log2(nb) Newton–Schulz MXU dot pairs (48*nb^3 flops
+    per diagonal tile — 72x the getrf's own 2/3*nb^3) with ~6 extra VPU
+    passes per scan step that pipeline under the scan's own latency-
+    bound recurrence.  ``m_k`` needs pivots i<k only, accumulated in
+    ``dinvc`` as the scan goes."""
+    f, g, v, dinvc = c
+    dt = f.dtype
+    tol = np.dtype(dt).type(tol)
+    one = np.dtype(dt).type(1)
+    rows = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    rows_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
+                   axis=0, keepdims=True)           # (1, nb)
+    colv = jnp.sum(jnp.where(cols_f == k, f, jnp.zeros((), dt)),
+                   axis=1, keepdims=True)           # (nb, 1)
+    piv = jnp.sum(jnp.where(cols[0:1, :] == k, rowv,
+                            jnp.zeros((), dt)),
+                  axis=1, keepdims=True)            # (1, 1)
+    safe = jnp.where(jnp.abs(piv) < tol, jnp.asarray(tol, dt), piv)
+    below = rows > k
+    right = cols > k
+    lcol = jnp.where(below, colv / safe, jnp.zeros((), dt))
+    urow = jnp.where(right, rowv, jnp.zeros((), dt))
+    f = f - lcol * urow
+    # L^-1 accumulation (lcol = the FINAL scaled L column k: later
+    # steps never touch column k)
+    gk = jnp.sum(jnp.where(rows_f == k, g, jnp.zeros((), dt)),
+                 axis=0, keepdims=True)             # (1, nb)
+    g = g - lcol * gk
+    # Utilde^-T accumulation: column k of U is final at step k too
+    dinvc = jnp.where(rows == k, one / safe, dinvc)  # (nb, 1)
+    mk = jnp.where(rows < k, colv * dinvc, jnp.zeros((), dt))
+    mv = jnp.sum(mk * v, axis=0, keepdims=True)      # (1, nb)
+    v = jnp.where(rows_f == k, v - mv, v)
+    return f, g, v, dinvc
+
+
+def _eye(nb, dt):
+    return jnp.where(
+        lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
+        jnp.ones((), dt), jnp.zeros((), dt))
+
+
+def _diag_row(f, *, nb):
+    """Extract the diagonal of a packed factor as a (1, nb) row."""
+    dt = f.dtype
+    return jnp.sum(jnp.where(
+        lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
+        f, jnp.zeros((), dt)), axis=0, keepdims=True)
+
+
+def _transpose_dot(v, *, nb):
+    """V^T via one MXU dot against the identity (contract dim 0 of
+    both operands: out[m,n] = sum_i v[i,m] eye[i,n] = v[n,m]) — Mosaic
+    has no cheap VMEM transpose, the MXU does it natively as a
+    transposed-lhs matmul."""
+    dt = v.dtype
+    return lax.dot_general(
+        v, _eye(nb, dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=dt, precision=lax.Precision.HIGHEST)
+
+
 def _lu_finalize(f, *, nb, tol):
     """Finalize the packed factor after the scan: scale L columns by
     1/pivot (with the reference's tiny-pivot substitution) and clamp
@@ -168,15 +255,33 @@ def _lu_finalize(f, *, nb, tol):
                      dsafe0, f)
 
 
-def _lu_inverses(a, *, nb, tol):
+def _lu_inverses(a, *, nb, tol, inv="newton"):
     """Pure value-level body: unpivoted LU of one VMEM-resident tile +
-    exact Newton-doubling triangle inverses.  Shared by the standalone
-    diag kernel and the whole-factorization mega-kernels."""
-    f = _fori_loop(
-        0, nb, lambda k, f: _lu_scan_step(f, k, nb=nb, tol=tol), a)
+    exact triangle inverses.  Shared by the standalone diag kernel and
+    the whole-factorization mega-kernels.
+
+    ``inv="newton"`` (default, measured faster on v5e — see module
+    docstring) is the 2*log2(nb)-dot Newton–Schulz pair;
+    ``inv="scan"`` accumulates both inverses INSIDE the rank-1 scan
+    (Gauss–Jordan products, :func:`_lu_scan_step_aug`) — zero extra
+    MXU work beyond one transpose-dot, but more VPU bandwidth (A/B
+    knob PANGULU_MEGA_INV, resolved at trace time by the jit
+    wrappers)."""
+    if inv == "newton":
+        f = _fori_loop(
+            0, nb, lambda k, f: _lu_scan_step(f, k, nb=nb, tol=tol), a)
+        f = _lu_finalize(f, nb=nb, tol=tol)
+        linv, uinv = _newton_inverses(f, nb=nb, tol=tol)
+        return f, linv, uinv
+    dt = a.dtype
+    eye = _eye(nb, dt)
+    c0 = (a, eye, eye, jnp.zeros((nb, 1), dt))
+    f, g, v, _ = _fori_loop(
+        0, nb, lambda k, c: _lu_scan_step_aug(c, k, nb=nb, tol=tol), c0)
     f = _lu_finalize(f, nb=nb, tol=tol)
-    linv, uinv = _newton_inverses(f, nb=nb, tol=tol)
-    return f, linv, uinv
+    one = np.dtype(dt).type(1)
+    uinv = _transpose_dot(v, nb=nb) * (one / _diag_row(f, nb=nb))
+    return f, g, uinv
 
 
 def _newton_inverses(f, *, nb, tol):
@@ -226,23 +331,38 @@ def _newton_inverses(f, *, nb, tol):
     return linv, y * dinv_row
 
 
-def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol):
-    f, linv, uinv = _lu_inverses(a_ref[:, :], nb=nb, tol=tol)
+def _getrf_inv_kernel(a_ref, f_ref, linv_ref, uinv_ref, *, nb, tol,
+                      inv):
+    f, linv, uinv = _lu_inverses(a_ref[:, :], nb=nb, tol=tol, inv=inv)
     f_ref[:, :] = f
     linv_ref[:, :] = linv
     uinv_ref[:, :] = uinv
 
 
+def _inv_mode(inv):
+    """Resolve the triangle-inverse scheme: explicit arg wins, else the
+    PANGULU_MEGA_INV env A/B knob (read at TRACE time — flip it only in
+    a fresh process, jit caches key on the resolved value only when
+    passed explicitly)."""
+    if inv is None:
+        import os
+        inv = os.environ.get("PANGULU_MEGA_INV", "newton")
+    if inv not in ("scan", "newton"):
+        raise ValueError(f"unknown inverse mode {inv!r}")
+    return inv
+
+
 @x32_trace
-@functools.partial(jax.jit, static_argnames=("tol",))
-def getrf_with_inverses(a, tol=None):
+@functools.partial(jax.jit, static_argnames=("tol", "inv"))
+def getrf_with_inverses(a, tol=None, inv=None):
     """Fused diagonal step as one Pallas kernel: (f, L^-1, U^-1)."""
     nb = a.shape[-1]
     dt = a.dtype
     if tol is None:
         tol = float(kj.DEFAULT_TOL[jnp.dtype(dt)])
     out = pl.pallas_call(
-        functools.partial(_getrf_inv_kernel, nb=nb, tol=tol),
+        functools.partial(_getrf_inv_kernel, nb=nb, tol=tol,
+                          inv=_inv_mode(inv)),
         out_shape=(
             jax.ShapeDtypeStruct((nb, nb), dt),
             jax.ShapeDtypeStruct((nb, nb), dt),
@@ -297,7 +417,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                  sem_diag, sem_inv, sem_cdiag, sem_cinv,
                  sem_l, sem_u, sem_lo, sem_uo, sem_di,
                  sem_do, sem_tab, sem_utab, *, nb, tol, bl, pch, uch,
-                 comb_lw, comb_uw, comb_rw):
+                 comb_lw, comb_uw, comb_rw, inv):
     """One elimination level per fori iteration; panels processed in
     chunks of ``pch`` tiles so arbitrarily wide levels (irregular
     orderings) run in bounded VMEM.  Schur updates are sorted by
@@ -449,7 +569,8 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         @pl.when(jnp.logical_not(ahead_self))
         def _():
             cin.wait()
-            f, li_m, ui_m = _lu_inverses(fbuf[:, :], nb=nb, tol=tol)
+            f, li_m, ui_m = _lu_inverses(fbuf[:, :], nb=nb, tol=tol,
+                                         inv=inv)
             fbuf[:, :] = f
             linv_b[:, :] = li_m
             uinv_b[:, :] = ui_m
@@ -790,12 +911,13 @@ MEGA_MAX_PANEL = 32
 
 @x32_trace
 @functools.partial(jax.jit,
-                   static_argnames=("nb", "tol", "bl", "pch", "uch"),
+                   static_argnames=("nb", "tol", "bl", "pch", "uch",
+                                    "inv"),
                    donate_argnums=(0,))
 def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
                    lid_tab, uid_tab, udst_tab, udl_tab, udu_tab,
                    flag_tab=None, lev_tab=None,
-                   *, nb, tol, bl, pch, uch=_UCH):
+                   *, nb, tol, bl, pch, uch=_UCH, inv=None):
     """Entire numeric factorization in ONE Pallas launch.
 
     tiles: [num_tiles+1, nb, nb] (donated; factored in place).
@@ -880,7 +1002,8 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
     return pl.pallas_call(
         functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl,
                           pch=pch, uch=uch, comb_lw=lid_w,
-                          comb_uw=uid_w, comb_rw=row_w),
+                          comb_uw=uid_w, comb_rw=row_w,
+                          inv=_inv_mode(inv)),
         out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
                    jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
         grid_spec=grid_spec,
@@ -945,6 +1068,40 @@ def _scan_step_3d(f, k, *, g, nb, tol):
     return f - lcol * urow
 
 
+def _scan_step_3d_aug(c, k, *, g, nb, tol):
+    """Batched :func:`_lu_scan_step_aug` over (g, nb, nb): one rank-1
+    elimination step PLUS Gauss–Jordan accumulation of L^-1 (``gi``)
+    and Utilde^-T (``v``) for all group members at once."""
+    f, gi, v, dinvc = c
+    dt = f.dtype
+    tol = np.dtype(dt).type(tol)
+    one = np.dtype(dt).type(1)
+    rows_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 1)
+    cols_f = lax.broadcasted_iota(jnp.int32, (g, nb, nb), 2)
+    rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
+                   axis=1, keepdims=True)           # (g, 1, nb)
+    colv = jnp.sum(jnp.where(cols_f == k, f, jnp.zeros((), dt)),
+                   axis=2, keepdims=True)           # (g, nb, 1)
+    piv = jnp.sum(jnp.where(
+        lax.broadcasted_iota(jnp.int32, (g, 1, nb), 2) == k, rowv,
+        jnp.zeros((), dt)), axis=2, keepdims=True)  # (g, 1, 1)
+    safe = jnp.where(jnp.abs(piv) < tol, jnp.asarray(tol, dt), piv)
+    rows_c = lax.broadcasted_iota(jnp.int32, (g, nb, 1), 1)
+    below = rows_c > k
+    right = lax.broadcasted_iota(jnp.int32, (g, 1, nb), 2) > k
+    lcol = jnp.where(below, colv / safe, jnp.zeros((), dt))
+    urow = jnp.where(right, rowv, jnp.zeros((), dt))
+    f = f - lcol * urow
+    gk = jnp.sum(jnp.where(rows_f == k, gi, jnp.zeros((), dt)),
+                 axis=1, keepdims=True)             # (g, 1, nb)
+    gi = gi - lcol * gk
+    dinvc = jnp.where(rows_c == k, one / safe, dinvc)  # (g, nb, 1)
+    mk = jnp.where(rows_c < k, colv * dinvc, jnp.zeros((), dt))
+    mv = jnp.sum(mk * v, axis=1, keepdims=True)     # (g, 1, nb)
+    v = jnp.where(rows_f == k, v - mv, v)
+    return f, gi, v, dinvc
+
+
 def _lu_finalize_3d(f, *, g, nb, tol):
     """Batched :func:`_lu_finalize` over (g, nb, nb)."""
     dt = f.dtype
@@ -970,7 +1127,7 @@ def _group_kernel(gs_tab, nup_tab,
                   sem_l, sem_u, sem_lo, sem_uo, sem_di, sem_do,
                   sem_tab, sem_utab,
                   *, nb, tol, ng, gmax, pch, uch,
-                  comb_lw, comb_uw, comb_rw):
+                  comb_lw, comb_uw, comb_rw, inv):
     """One super-level GROUP per fori iteration; see the section
     comment above for the design and hazard rules.  Correctness rests
     on: (1) group diag/panel tiles are pairwise disjoint and disjoint
@@ -1090,18 +1247,8 @@ def _group_kernel(gs_tab, nup_tab,
             return c
 
         _fori_loop(0, gs, d_wait, 0)
-        f3 = _fori_loop(
-            0, nb, lambda k, f: _scan_step_3d(f, k, g=gmax, nb=nb,
-                                              tol=tol),
-            fb3[:, :, :])
-        fb3[:, :, :] = _lu_finalize_3d(f3, g=gmax, nb=nb, tol=tol)
 
-        # per-member Newton inverses + writebacks (independent chains
-        # issued back-to-back so their MXU dots pipeline)
-        def newton_m(m, c):
-            li_m, ui_m = _newton_inverses(fb3[m], nb=nb, tol=tol)
-            linv3[m] = li_m
-            uinv3[m] = ui_m
+        def _member_writebacks(m, c):
             pltpu.make_async_copy(fb3.at[m], tiles_out.at[gdiag[m]],
                                   sem_dio.at[m]).start()
             pltpu.make_async_copy(linv3.at[m],
@@ -1112,7 +1259,48 @@ def _group_kernel(gs_tab, nup_tab,
                                   sem_inv.at[m, 1]).start()
             return c
 
-        _fori_loop(0, gs, newton_m, 0)
+        if inv == "newton":
+            f3 = _fori_loop(
+                0, nb, lambda k, f: _scan_step_3d(f, k, g=gmax, nb=nb,
+                                                  tol=tol),
+                fb3[:, :, :])
+            fb3[:, :, :] = _lu_finalize_3d(f3, g=gmax, nb=nb, tol=tol)
+
+            # per-member Newton inverses + writebacks (independent
+            # chains issued back-to-back so their MXU dots pipeline)
+            def newton_m(m, c):
+                li_m, ui_m = _newton_inverses(fb3[m], nb=nb, tol=tol)
+                linv3[m] = li_m
+                uinv3[m] = ui_m
+                return _member_writebacks(m, c)
+
+            _fori_loop(0, gs, newton_m, 0)
+        else:
+            # scan-resident inverses: ONE batched augmented scan
+            # yields L^-1 directly and Utilde^-T; per member only the
+            # MXU transpose-dot + D^-1 column scale remain (replaces
+            # gs * 2*log2(nb) Newton dot pairs)
+            eye3 = jnp.where(
+                lax.broadcasted_iota(jnp.int32, (gmax, nb, nb), 1)
+                == lax.broadcasted_iota(jnp.int32, (gmax, nb, nb), 2),
+                jnp.ones((), dt), jnp.zeros((), dt))
+            c0 = (fb3[:, :, :], eye3, eye3,
+                  jnp.zeros((gmax, nb, 1), dt))
+            f3, g3, v3, _ = _fori_loop(
+                0, nb,
+                lambda k, c: _scan_step_3d_aug(c, k, g=gmax, nb=nb,
+                                               tol=tol), c0)
+            fb3[:, :, :] = _lu_finalize_3d(f3, g=gmax, nb=nb, tol=tol)
+            linv3[:, :, :] = g3
+            uinv3[:, :, :] = v3
+            one = np.dtype(dt).type(1)
+
+            def fin_m(m, c):
+                dinv_row = one / _diag_row(fb3[m], nb=nb)
+                uinv3[m] = _transpose_dot(uinv3[m], nb=nb) * dinv_row
+                return _member_writebacks(m, c)
+
+            _fori_loop(0, gs, fin_m, 0)
 
         # ---- panel solves, per member, chunked ------------------------
         def _pan_copy(i, base, outward, is_l):
@@ -1356,12 +1544,13 @@ def _group_kernel(gs_tab, nup_tab,
 @x32_trace
 @functools.partial(jax.jit,
                    static_argnames=("nb", "tol", "ng", "gmax", "pch",
-                                    "uch", "bl"),
+                                    "uch", "bl", "inv"),
                    donate_argnums=(0,))
 def mega_factorize_groups(tiles, gs_tab, nup_tab, gdiag_tab, glev_tab,
                           gloff_tab, guoff_tab, lid_tab, uid_tab,
                           udst_tab, udl_tab, udu_tab,
-                          *, nb, tol, ng, gmax, pch, uch, bl):
+                          *, nb, tol, ng, gmax, pch, uch, bl,
+                          inv=None):
     """Entire numeric factorization in ONE Pallas launch, one BATCHED
     super-level group per loop iteration (see Schedule.group_mega_tables
     for the table format and the section comment for the design).
@@ -1421,7 +1610,8 @@ def mega_factorize_groups(tiles, gs_tab, nup_tab, gdiag_tab, glev_tab,
     return pl.pallas_call(
         functools.partial(_group_kernel, nb=nb, tol=tol, ng=ng,
                           gmax=gmax, pch=pch, uch=uch,
-                          comb_lw=lid_w, comb_uw=uid_w, comb_rw=row_w),
+                          comb_lw=lid_w, comb_uw=uid_w, comb_rw=row_w,
+                          inv=_inv_mode(inv)),
         out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
                    jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
         grid_spec=grid_spec,

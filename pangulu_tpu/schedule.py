@@ -254,10 +254,34 @@ class Schedule:
         Returns a dict of tables plus geometry (pch, uch, ngroups,
         widths)."""
         supers = self.superlevels()
+        # Pack each super-level into groups under a PANEL budget: the
+        # group's concatenated L and U panels must fit ONE pch chunk
+        # (<= max_pch tiles each).  Measured r3 (poisson3d(32) nd,
+        # fixed 16-member groups): concatenated panels of up to 157
+        # tiles forced the Schur stream through up to 5x5 panel-chunk
+        # reload pairs per group — group Schur cost 14 ms vs the chain
+        # kernel's 5.7 ms for the SAME updates.  With the budget the
+        # stream behaves exactly like the chain kernel's (every panel
+        # resident after one load); a singleton group may still exceed
+        # the budget (wide level) and falls back to chunked reloads.
         groups: list[list[int]] = []
         for mem in supers:
-            for s in range(0, len(mem), gmax):
-                groups.append(mem[s:s + gmax])
+            cur: list[int] = []
+            nl_c = nu_c = 0
+            for k in mem:
+                nlk = len(self.levels[k].lpanel)
+                nuk = len(self.levels[k].upanel)
+                if cur and (len(cur) >= gmax
+                            or nl_c + nlk > max_pch
+                            or nu_c + nuk > max_pch):
+                    groups.append(cur)
+                    cur, nl_c, nu_c = [], 0, 0
+                cur.append(k)
+                nl_c += nlk
+                nu_c += nuk
+            if cur:
+                groups.append(cur)
+        gmax = max((len(g) for g in groups), default=1)
         ng = len(groups)
         nl_tot = max(max((sum(len(self.levels[k].lpanel) for k in g)
                           for g in groups), default=1), 1)

@@ -51,3 +51,26 @@ def test_pallas_tiny_pivot():
     a[3, 3] = 0.0
     f = np.asarray(kp.getrf(jnp.asarray(a), tol=1e-8))
     assert f[3, 3] == np.float32(1e-8)
+
+
+@pytest.mark.parametrize("nb", [32, 128])
+def test_pallas_scan_inverses_match_newton(nb):
+    """The scan-resident Gauss-Jordan inverses (default) and the
+    Newton-Schulz doubling inverses are the same exact quantities --
+    both must invert L and U to f32 accuracy on the same factor."""
+    rng = np.random.default_rng(7)
+    a = (rng.standard_normal((nb, nb)) + nb * np.eye(nb)).astype(np.float32)
+    f_s, linv_s, uinv_s = kp.getrf_with_inverses(jnp.asarray(a), inv="scan")
+    f_n, linv_n, uinv_n = kp.getrf_with_inverses(jnp.asarray(a), inv="newton")
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_n),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(linv_s), np.asarray(linv_n),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(uinv_s), np.asarray(uinv_n),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_inv_mode_rejects_unknown():
+    a = np.eye(8, dtype=np.float32)
+    with pytest.raises(ValueError, match="inverse mode"):
+        kp.getrf_with_inverses(jnp.asarray(a), inv="bogus")
