@@ -1139,6 +1139,8 @@ def _group_kernel(gs_tab, nup_tab,
     dt = tiles_out.dtype
     hi = lax.Precision.HIGHEST
     i32 = jnp.int32
+    from pangulu_tpu.schedule import prodrow_tiers
+    tiers = prodrow_tiers(pch)
 
     lid_w = comb_lw
     uid_w = comb_uw
@@ -1410,7 +1412,14 @@ def _group_kernel(gs_tab, nup_tab,
                         tiles_out.at[udst_at(c, j)],
                         dstbuf.at[slot], sem_di.at[slot]).wait()
 
-                uj = udu_at(c, j)
+                # udu word: uj (bits 0-11) | window start u0c (12-18,
+                # chunk-relative) | tier index (19-20).  The prodrow
+                # spans only the member's u-window at the smallest
+                # static tier width — see Schedule.group_mega_tables.
+                uw = udu_at(c, j)
+                uj = lax.rem(uw, i32(1 << 12))
+                u0c = lax.rem(lax.div(uw, i32(1 << 12)), i32(1 << 7))
+                ti = lax.div(uw, i32(1 << 19))
                 ucj = lax.div(uj, i32(pch))
                 lcj = lax.div(li, i32(pch))
                 uc_ch = ucj != cur_uc
@@ -1438,29 +1447,22 @@ def _group_kernel(gs_tab, nup_tab,
                         _pan_copy(i, lb, False, True).wait(),
                         cc)[1], 0)
 
+                # within one l the window is fixed, so li-change
+                # implies window-change; chunk reloads force recompute
                 recompute = (li != cur_l) | uc_ch | lc_ch
-                ucnt_here = jnp.minimum(nu_tot - ucj * pch, i32(pch))
-                half = pch // 2
                 lsl = pl.ds(pl.multiple_of((li - lcj * pch) * nb, nb),
                             nb)
-                full_pred = (recompute & (ucnt_here > half)
-                             if half >= 1 else recompute)
-
-                if half >= 1:
-                    @pl.when(recompute & (ucnt_here <= half))
-                    def _():
-                        prodrow[:, : half * nb] = jnp.dot(
-                            lpan[lsl, :], upan[:, : half * nb],
+                for idx, w in enumerate(tiers):
+                    @pl.when(recompute & (ti == i32(idx)))
+                    def _(w=w):
+                        prodrow[:, : w * nb] = jnp.dot(
+                            lpan[lsl, :],
+                            upan[:, pl.ds(pl.multiple_of(
+                                u0c * nb, nb), w * nb)],
                             preferred_element_type=dt, precision=hi)
 
-                @pl.when(full_pred)
-                def _():
-                    prodrow[:, :] = jnp.dot(
-                        lpan[lsl, :], upan[:, :],
-                        preferred_element_type=dt, precision=hi)
-
-                usl = pl.ds(pl.multiple_of((uj - ucj * pch) * nb, nb),
-                            nb)
+                usl = pl.ds(pl.multiple_of(
+                    (uj - ucj * pch - u0c) * nb, nb), nb)
                 dstbuf[slot] = dstbuf[slot] - prodrow[:, usl]
 
                 @pl.when(dowrite > 0)

@@ -306,10 +306,36 @@ class Schedule:
         udst = np.full((ng, nchunks, row_w), scratch_tile, np.int32)
         udl = np.zeros((ng, nchunks, row_w), np.int32)
         udu = np.zeros((ng, nchunks, row_w), np.int32)
+        # u-window tiers: each distinct L row's product only needs its
+        # OWN member's u-panels [gu0, gu1) — a contiguous window of the
+        # concatenated panel space.  The udu word packs (uj | u0c<<12 |
+        # tier<<19): the kernel computes prodrow over the smallest
+        # static tier width >= the member's u count, at a clamped
+        # chunk-relative start, instead of the full pch chunk.
+        # Measured r3 (nd, poisson3d(32)): full-width prodrows made the
+        # group Schur stream ~2.5x the chain kernel's MXU work.
+        tiers = prodrow_tiers(pch)
+        if nl_pan >= (1 << 12) or nu_pan >= (1 << 12):
+            raise ValueError("group panel space exceeds 12-bit udu "
+                             "packing")
+
+        def _uword(uj, gu0, gu1):
+            ucj = uj // pch
+            if gu0 // pch != max(gu1 - 1, gu0) // pch:
+                return uj  # member window crosses chunks: full chunk
+            width = gu1 - gu0
+            ti = 0
+            for i, w in enumerate(tiers):
+                if w >= width:
+                    ti = i
+            w = tiers[ti]
+            u0c = max(0, min(gu0 - ucj * pch, pch - w))
+            return uj | (u0c << 12) | (ti << 19)
+
         for gi, mem in enumerate(groups):
             gs[gi] = len(mem)
             ol = ou = 0
-            dsts, uls, uus = [], [], []
+            dsts, uls, uus, uws = [], [], [], []
             for m, k in enumerate(mem):
                 lev = self.levels[k]
                 gdiag[gi, m] = lev.diag
@@ -322,6 +348,9 @@ class Schedule:
                 dsts.append(lev.upd_dst)
                 uls.append(lev.upd_l + ol)
                 uus.append(lev.upd_u + ou)
+                uws.append(np.asarray(
+                    [_uword(int(u) + ou, ou, ou + nuk)
+                     for u in lev.upd_u], np.int64))
                 ol += nlk
                 ou += nuk
             gloff[gi, len(mem):] = ol
@@ -329,9 +358,10 @@ class Schedule:
             dsts = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
             uls = np.concatenate(uls) if uls else np.empty(0, np.int64)
             uus = np.concatenate(uus) if uus else np.empty(0, np.int64)
+            uws = np.concatenate(uws) if uws else np.empty(0, np.int64)
             nup_tab[gi] = len(dsts)
             order = np.lexsort((uus, uls, uls // pch, uus // pch))
-            s_dst, s_l, s_u = dsts[order], uls[order], uus[order]
+            s_dst, s_l, s_u = dsts[order], uls[order], uws[order]
             for c in range(0, int(nup_tab[gi]), uch):
                 cc = c // uch
                 cnt = min(uch, int(nup_tab[gi]) - c)
@@ -728,6 +758,17 @@ def build_schedule(blocked: BlockedMatrix) -> Schedule:
         block_length=bl, nb=blocked.nb, levels=levels,
         n_tstrf=n_tstrf, n_gessm=n_gessm, n_ssssm=n_ssssm,
     )
+
+
+def prodrow_tiers(pch: int) -> tuple:
+    """Static prodrow width tiers for the batched-group mega kernel:
+    (pch, pch/2, pch/4, ...) down to 4 tiles, at most 4 tiers.  The
+    schedule encodes each update's tier in its udu word; the kernel
+    derives the same list from ``pch`` (both sides MUST use this)."""
+    tiers = [pch]
+    while tiers[-1] > 4 and len(tiers) < 4:
+        tiers.append(tiers[-1] // 2)
+    return tuple(tiers)
 
 
 def group_runs(sig: list, min_run: int) -> list:
