@@ -286,22 +286,29 @@ def _lu_inverses(a, *, nb, tol, inv="newton"):
 
 def _newton_inverses(f, *, nb, tol):
     """Exact Newton–Schulz doubling triangle inverses of a packed
-    factor (MXU; log2(nb) interleaved matmul pairs)."""
+    factor (MXU; log2(nb) interleaved matmul pairs).
+
+    MEASURED (r3): fusing the two chains into ONE block-diagonal
+    2nb-sized chain (half the sequential dot count, 4x the flops per
+    dot) is SLOWER on v5e — rcm bench 12.0 -> 13.8 ms — i.e. these
+    in-kernel dots are throughput-bound, not latency-bound.  Keep the
+    two nb-sized chains interleaved."""
     dt = f.dtype
     tol = np.dtype(dt).type(tol)
     one = np.dtype(dt).type(1)
     two = np.dtype(dt).type(2)
-    eye = jnp.where(
-        lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
-        == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
-        jnp.ones((), dt), jnp.zeros((), dt))
+    rows = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    eye = jnp.where(rows == cols, jnp.ones((), dt), jnp.zeros((), dt))
     steps = max((nb - 1).bit_length() - 1, 0)
-    lower = lax.broadcasted_iota(jnp.int32, (nb, nb), 0) > \
-        lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-    upper = lax.broadcasted_iota(jnp.int32, (nb, nb), 0) < \
-        lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
-    lmat = jnp.where(lower, f, jnp.zeros((), dt)) + eye
-    x = two * eye - lmat
+
+    dvec = jnp.sum(jnp.where(rows == cols, f, jnp.zeros((), dt)),
+                   axis=0, keepdims=True)      # (1, nb) diagonal
+    dsafe = jnp.where(jnp.abs(dvec) < tol, jnp.asarray(tol, dt), dvec)
+    dinv_row = one / dsafe                     # (1, nb)
+    lmat = jnp.where(rows > cols, f, jnp.zeros((), dt)) + eye
+    umat = (jnp.where(rows < cols, f, jnp.zeros((), dt))
+            * dinv_row.T) + eye                # I + D^-1 R
 
     # Mosaic only lowers DEFAULT/HIGHEST dot precision — pin HIGHEST so
     # an ambient jax.default_matmul_precision("high") context (legal
@@ -309,18 +316,11 @@ def _newton_inverses(f, *, nb, tol):
     _dot = functools.partial(jnp.dot, preferred_element_type=dt,
                              precision=lax.Precision.HIGHEST)
 
-    dvec = jnp.sum(jnp.where(
-        lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
-        == lax.broadcasted_iota(jnp.int32, (nb, nb), 1),
-        f, jnp.zeros((), dt)), axis=0, keepdims=True)  # (1, nb) diagonal
-    dsafe = jnp.where(jnp.abs(dvec) < tol, jnp.asarray(tol, dt), dvec)
-    dinv_row = one / dsafe                     # (1, nb)
-    m = jnp.where(upper, f, jnp.zeros((), dt)) * (dinv_row.T)  # D^-1 R
-    umat = eye + m
-    y = two * eye - umat
-
     # interleave the two (independent) doubling chains so the scheduler
     # can pipeline their MXU dots
+    x = two * eye - lmat
+    y = two * eye - umat
+
     def newton_both(_, carry):
         x, y = carry
         x = _dot(x, two * eye - _dot(lmat, x))
