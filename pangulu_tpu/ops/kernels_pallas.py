@@ -154,6 +154,54 @@ def _lu_scan_step(f, k, *, nb, tol):
     return f - lcol * urow
 
 
+def _lu_scan_step2(f, k, *, nb, tol):
+    """TWO rank-1 elimination steps (k, k+1) fused into one loop
+    iteration: row/column k+1 are extracted raw and locally corrected
+    by step k's contribution, then both outer-product updates apply in
+    a single read-modify-write of ``f``.  Halves the scan's serial
+    f-update rounds (the recurrence bound) at the same masked-reduce
+    count.  Exact same arithmetic DAG per entry as two single steps
+    except the f-update order (one fused FMA pair), so results match
+    the single-step scan to f32 rounding."""
+    dt = f.dtype
+    tol = np.dtype(dt).type(tol)
+    k2 = k + 1
+    rows = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    rows_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
+                   axis=0, keepdims=True)            # (1, nb)
+    colv = jnp.sum(jnp.where(cols_f == k, f, jnp.zeros((), dt)),
+                   axis=1, keepdims=True)            # (nb, 1)
+    rowv2 = jnp.sum(jnp.where(rows_f == k2, f, jnp.zeros((), dt)),
+                    axis=0, keepdims=True)           # (1, nb) raw
+    colv2 = jnp.sum(jnp.where(cols_f == k2, f, jnp.zeros((), dt)),
+                    axis=1, keepdims=True)           # (nb, 1) raw
+    piv = jnp.sum(jnp.where(cols[0:1, :] == k, rowv,
+                            jnp.zeros((), dt)),
+                  axis=1, keepdims=True)             # (1, 1)
+    safe = jnp.where(jnp.abs(piv) < tol, jnp.asarray(tol, dt), piv)
+    lcol = jnp.where(rows > k, colv / safe, jnp.zeros((), dt))
+    urow = jnp.where(cols > k, rowv, jnp.zeros((), dt))
+    # step k's contribution to row/col k+1: the scalars L[k+1,k] and
+    # U[k,k+1]
+    l_k2 = jnp.sum(jnp.where(rows == k2, lcol, jnp.zeros((), dt)),
+                   axis=0, keepdims=True)            # (1, 1)
+    u_k2 = jnp.sum(jnp.where(cols[0:1, :] == k2, urow,
+                             jnp.zeros((), dt)),
+                   axis=1, keepdims=True)            # (1, 1)
+    rowv2 = rowv2 - l_k2 * urow
+    colv2 = colv2 - lcol * u_k2
+    piv2 = jnp.sum(jnp.where(cols[0:1, :] == k2, rowv2,
+                             jnp.zeros((), dt)),
+                   axis=1, keepdims=True)
+    safe2 = jnp.where(jnp.abs(piv2) < tol, jnp.asarray(tol, dt), piv2)
+    lcol2 = jnp.where(rows > k2, colv2 / safe2, jnp.zeros((), dt))
+    urow2 = jnp.where(cols > k2, rowv2, jnp.zeros((), dt))
+    return f - lcol * urow - lcol2 * urow2
+
+
 def _lu_scan_step_aug(c, k, *, nb, tol):
     """Rank-1 LU step with SCAN-RESIDENT triangle inverses: the same
     elimination as :func:`_lu_scan_step` plus Gauss–Jordan accumulation
@@ -267,10 +315,24 @@ def _lu_inverses(a, *, nb, tol, inv="newton"):
     MXU work beyond one transpose-dot, but more VPU bandwidth (A/B
     knob PANGULU_MEGA_INV, resolved at trace time by the jit
     wrappers)."""
-    if inv == "newton":
-        f = _fori_loop(
-            0, nb, lambda k, f: _lu_scan_step(f, k, nb=nb, tol=tol), a)
+    if inv == "skip":       # debug timing floor: NO valid numerics
+        return a, a, a
+    if inv in ("newton", "newton2", "scanonly"):
+        if inv == "newton2" and nb % 2 == 0:
+            # rank-2 fused steps: measured a wash on v5e (rcm bench
+            # 11.9 -> 12.2 ms) — the correction-scalar chain is as
+            # long as two single steps; kept as an A/B mode
+            f = _fori_loop(
+                0, nb // 2,
+                lambda t, f: _lu_scan_step2(f, 2 * t, nb=nb, tol=tol),
+                a)
+        else:
+            f = _fori_loop(
+                0, nb,
+                lambda k, f: _lu_scan_step(f, k, nb=nb, tol=tol), a)
         f = _lu_finalize(f, nb=nb, tol=tol)
+        if inv == "scanonly":   # debug timing: NO valid inverses
+            return f, f, f
         linv, uinv = _newton_inverses(f, nb=nb, tol=tol)
         return f, linv, uinv
     dt = a.dtype
@@ -347,8 +409,10 @@ def _inv_mode(inv):
     if inv is None:
         import os
         inv = os.environ.get("PANGULU_MEGA_INV", "newton")
-    if inv not in ("scan", "newton"):
+    if inv not in ("scan", "newton", "newton2", "scanonly", "skip"):
         raise ValueError(f"unknown inverse mode {inv!r}")
+    # "scanonly"/"skip" are DEBUG TIMING modes (tools/exp_mega_phases):
+    # they return invalid inverses/factors and must never auto-dispatch
     return inv
 
 

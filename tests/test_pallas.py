@@ -74,3 +74,19 @@ def test_pallas_inv_mode_rejects_unknown():
     a = np.eye(8, dtype=np.float32)
     with pytest.raises(ValueError, match="inverse mode"):
         kp.getrf_with_inverses(jnp.asarray(a), inv="bogus")
+
+
+def test_pallas_rank2_scan_matches_single():
+    """inv="newton2" (rank-2 fused scan steps) must match the
+    single-step scan to f32 rounding."""
+    nb = 64
+    rng = np.random.default_rng(3)
+    a = (rng.standard_normal((nb, nb)) + nb * np.eye(nb)).astype(np.float32)
+    f1, l1, u1 = kp.getrf_with_inverses(jnp.asarray(a), inv="newton")
+    f2, l2, u2 = kp.getrf_with_inverses(jnp.asarray(a), inv="newton2")
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                               rtol=2e-4, atol=2e-4)
