@@ -1185,7 +1185,8 @@ def _lu_finalize_3d(f, *, g, nb, tol):
 def _group_kernel(gs_tab, nup_tab,
                   comb_hbm, udst_hbm, udl_hbm, udu_hbm,
                   tiles_in, tiles_out, invs_out,
-                  fb3, linv3, uinv3, lpan, upan, prodrow, dstbuf,
+                  fb3, linv3, uinv3, lpan, upan, lraw, uraw,
+                  prodrow, dstbuf,
                   comb_s, udst_c, udl_c, udu_c,
                   sem_diag, sem_dio, sem_inv,
                   sem_l, sem_u, sem_lo, sem_uo, sem_di, sem_do,
@@ -1270,6 +1271,32 @@ def _group_kernel(gs_tab, nup_tab,
         guoff = _Row(o_guoff)
         nl_tot = gloff[gmax]     # total L panels of the group
         nu_tot = guoff[gmax]
+        # SINGLE-CHUNK fast path: all concatenated panels fit one pch
+        # chunk (guaranteed by the table builder's panel budget for
+        # multi-member groups; only oversized singleton levels miss).
+        # Raw panels prefetch NOW — they overlap the batched diag scan
+        # — get solved in place by one pow2-width dot per member, and
+        # stay VMEM-resident for the whole Schur stream (no reloads).
+        single = jnp.logical_and(nl_tot <= i32(pch),
+                                 nu_tot <= i32(pch))
+
+        def _raw_copy(i, is_l):
+            if is_l:
+                return pltpu.make_async_copy(
+                    tiles_out.at[lid_row[i]],
+                    lraw.at[pl.ds(pl.multiple_of(i * nb, nb), nb), :],
+                    sem_l.at[i])
+            return pltpu.make_async_copy(
+                tiles_out.at[uid_row[i]],
+                uraw.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
+                sem_u.at[i])
+
+        @pl.when(single)
+        def _():
+            _fori_loop(0, nl_tot, lambda i, c: (
+                _raw_copy(i, True).start(), c)[1], 0)
+            _fori_loop(0, nu_tot, lambda i, c: (
+                _raw_copy(i, False).start(), c)[1], 0)
 
         def _urow(off, cbuf, c, j):
             return jnp.where(c == i32(0), comb_s[cbase + off + j],
@@ -1396,9 +1423,9 @@ def _group_kernel(gs_tab, nup_tab,
                     _pan_copy(i, base, False, True).start(), c)[1], 0)
                 _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, False, True).wait(), c)[1], 0)
-                lpan[:, :] = jnp.dot(lpan[:, :], uinv3[m],
-                                     preferred_element_type=dt,
-                                     precision=hi)
+                lpan[: pch * nb, :] = jnp.dot(
+                    lpan[: pch * nb, :], uinv3[m],
+                    preferred_element_type=dt, precision=hi)
                 _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, True, True).start(), c)[1], 0)
                 # waits stay inline: the buffer is reused by the next
@@ -1416,9 +1443,9 @@ def _group_kernel(gs_tab, nup_tab,
                     _pan_copy(i, base, False, False).start(), c)[1], 0)
                 _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, False, False).wait(), c)[1], 0)
-                upan[:, :] = jnp.dot(linv3[m], upan[:, :],
-                                     preferred_element_type=dt,
-                                     precision=hi)
+                upan[:, : pch * nb] = jnp.dot(
+                    linv3[m], upan[:, : pch * nb],
+                    preferred_element_type=dt, precision=hi)
                 _fori_loop(0, cnt, lambda i, c: (
                     _pan_copy(i, base, True, False).start(), c)[1], 0)
                 _fori_loop(0, cnt, lambda i, c: (
@@ -1428,13 +1455,66 @@ def _group_kernel(gs_tab, nup_tab,
             _fori_loop(0, nuc, u_chunk, 0)
             return c
 
-        _fori_loop(0, gs, member_panels, 0)
+        # fast path: wait the raw-panel prefetches, solve each member's
+        # panels IN PLACE with ONE pow2-width dot (lpan/upan are padded
+        # by pch extra tiles so a width-w window starting at l0 never
+        # overruns; garbage rows it writes past the member's own panels
+        # are overwritten by the next member's dot or land in the pad),
+        # then start the factor writebacks (waited at the group
+        # barrier).  Panels stay resident for the Schur stream.
+        widths = []
+        w = 1
+        while w <= pch:
+            widths.append(w)
+            w *= 2
+
+        @pl.when(single)
+        def _():
+            _fori_loop(0, nl_tot, lambda i, c: (
+                _raw_copy(i, True).wait(), c)[1], 0)
+            _fori_loop(0, nu_tot, lambda i, c: (
+                _raw_copy(i, False).wait(), c)[1], 0)
+
+            def solve_m(m, c):
+                l0 = gloff[m]
+                nl_m = gloff[m + 1] - l0
+                u0 = guoff[m]
+                nu_m = guoff[m + 1] - u0
+                for w in widths:
+                    lo_w = w // 2
+
+                    @pl.when((nl_m > i32(lo_w)) & (nl_m <= i32(w)))
+                    def _(w=w):
+                        sl = pl.ds(pl.multiple_of(l0 * nb, nb), w * nb)
+                        lpan[sl, :] = jnp.dot(
+                            lraw[sl, :], uinv3[m],
+                            preferred_element_type=dt, precision=hi)
+
+                    @pl.when((nu_m > i32(lo_w)) & (nu_m <= i32(w)))
+                    def _(w=w):
+                        sl = pl.ds(pl.multiple_of(u0 * nb, nb), w * nb)
+                        upan[:, sl] = jnp.dot(
+                            linv3[m], uraw[:, sl],
+                            preferred_element_type=dt, precision=hi)
+
+                return c
+
+            _fori_loop(0, gs, solve_m, 0)
+            _fori_loop(0, nl_tot, lambda i, c: (
+                _pan_copy(i, 0, True, True).start(), c)[1], 0)
+            _fori_loop(0, nu_tot, lambda i, c: (
+                _pan_copy(i, 0, True, False).start(), c)[1], 0)
+
+        @pl.when(jnp.logical_not(single))
+        def _():
+            _fori_loop(0, gs, member_panels, 0)
 
         # ---- Schur updates, chunks of ``uch`` -------------------------
-        # cur0 forces the first (uc, lc) reload: per-member panel
-        # chunking does not align with concatenated-index chunking, so
-        # nothing is known-resident here.
-        cur0 = (i32(-1), i32(-1), i32(-1))
+        # Single-chunk groups: solved panels are already VMEM-resident
+        # (cur starts at chunk 0, no reloads).  Multi-chunk groups:
+        # cur0 = -1 forces the first (uc, lc) reload.
+        zm = jnp.where(single, i32(0), i32(-1))
+        cur0 = (zm, zm, i32(-1))
 
         def chunk(c, cur):
             base = c * uch
@@ -1576,6 +1656,15 @@ def _group_kernel(gs_tab, nup_tab,
 
         _fori_loop(0, gs, bar_m, 0)
 
+        # fast-path factor writebacks must land before the next group
+        # reads the tiles (and before lpan/upan slots are reused)
+        @pl.when(single)
+        def _():
+            _fori_loop(0, nl_tot, lambda i, c: (
+                _pan_copy(i, 0, True, True).wait(), c)[1], 0)
+            _fori_loop(0, nu_tot, lambda i, c: (
+                _pan_copy(i, 0, True, False).wait(), c)[1], 0)
+
         @pl.when(nup > 0)
         def _():
             c_last = jnp.maximum(nchunks - 1, i32(0))
@@ -1652,8 +1741,13 @@ def mega_factorize_groups(tiles, gs_tab, nup_tab, gdiag_tab, glev_tab,
             pltpu.VMEM((gmax, nb, nb), dt),         # fb3
             pltpu.VMEM((gmax, nb, nb), dt),         # linv3
             pltpu.VMEM((gmax, nb, nb), dt),         # uinv3
-            pltpu.VMEM((pch * nb, nb), dt),         # lpan
-            pltpu.VMEM((nb, pch * nb), dt),         # upan
+            # lpan/upan/lraw/uraw carry pch extra pad tiles: the fast
+            # path's pow2-width member solves may read/write past the
+            # member's own panels (never consumed — see _group_kernel)
+            pltpu.VMEM((2 * pch * nb, nb), dt),     # lpan
+            pltpu.VMEM((nb, 2 * pch * nb), dt),     # upan
+            pltpu.VMEM((2 * pch * nb, nb), dt),     # lraw
+            pltpu.VMEM((nb, 2 * pch * nb), dt),     # uraw
             pltpu.VMEM((nb, pch * nb), dt),         # prodrow
             pltpu.VMEM((uch, nb, nb), dt),          # dstbuf
             pltpu.SMEM((2 * comb_pad,), jnp.int32),  # comb_s
