@@ -131,10 +131,13 @@ def init(a, opts: InitOptions | None = None) -> Handle:
             jax.config.update("jax_enable_x64", True)
     if opts.nb <= 0:
         opts.nb = 128
-    if opts.tile_storage == "compressed" and opts.nb * opts.nb > 65535:
+    if opts.tile_storage == "compressed" and opts.nb > 65535:
+        # u16 slots up to nb=255, u32 beyond (compressed.py); the
+        # reference's own u16 in-block indices bound nb <= 65535
+        # (pangulu_common.h:54-65)
         raise ValueError(
-            f"tile_storage='compressed' uses uint16 in-tile positions "
-            f"(sentinel nb*nb); nb must be <= 255, got {opts.nb}")
+            f"tile_storage='compressed' supports nb <= 65535, "
+            f"got {opts.nb}")
     if not isinstance(a, CscMatrix):
         a = CscMatrix.from_scipy(sp.csc_matrix(a))
     a = a.astype(dtype)
@@ -295,12 +298,11 @@ def gstrf(handle: Handle) -> None:
 
         if (backend.name == "pallas" and _jax.default_backend() == "tpu"
                 and jnp_f32_check(handle.blocked.dtype)
-                and handle.opts.nb == 128):
-            # (nb=256 exceeds the u16 in-tile index range of the
-            # compressed store; 128 is the MXU tile anyway)
+                and handle.opts.nb in (128, 256)):
             # O(fill) at mega speed: out-of-core panel driver — the
-            # compressed store at rest, each panel cross factored by
-            # the Pallas mega kernel
+            # compressed store at rest (u16 slots at nb=128, u32 at
+            # nb=256), each panel cross factored by the Pallas mega
+            # kernel (mega eligibility is nb in {128, 256})
             from pangulu_tpu.outofcore import PanelLU
 
             log.info("engine: panel out-of-core (compressed store + "

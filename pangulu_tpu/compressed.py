@@ -86,11 +86,18 @@ class CompressedTiles:
         nb, nt = blocked.nb, blocked.num_tiles
         bl = blocked.block_length
         nn = nb * nb
-        if nn > np.iinfo(np.uint16).max:
+        # in-tile positions (row-major r*nb+c, sentinel nb*nb): u16
+        # covers nb <= 255; wider tiles (the reference DEFAULT nb=256,
+        # pangulu.c:52-56) promote to u32 — still O(fill) at rest, 2
+        # extra bytes/slot.  The reference's u16 in-block indices bound
+        # nb <= 65535 (pangulu_common.h:54-65); u32 matches that range.
+        idx_dtype = np.uint16 if nn <= np.iinfo(np.uint16).max \
+            else np.uint32
+        if nn > np.iinfo(np.uint32).max:
             raise ValueError(
                 f"tile_storage='compressed' stores in-tile positions as "
-                f"uint16 (sentinel nb*nb={nn}); nb must be <= 255 "
-                f"(got nb={nb}) — use dense tiles or a smaller nb")
+                f"uint32 at most (sentinel nb*nb={nn}); nb must be <= "
+                f"65535 (got nb={nb})")
         li, lj = _scalar_fill_entries(a3)
         n = a3.n
         diag = np.arange(bl * nb, dtype=np.int64)  # incl padded tail
@@ -120,8 +127,8 @@ class CompressedTiles:
         first[1:] = np.cumsum(count)[:-1]
         ranks = np.arange(len(key)) - first[tid_s]
         slots = off[tid_s] + ranks
-        idx = np.full(s_total + self.capmax, nn, dtype=np.uint16)
-        idx[slots] = (key[np.arange(len(key))] % nn).astype(np.uint16)
+        idx = np.full(s_total + self.capmax, nn, dtype=idx_dtype)
+        idx[slots] = (key[np.arange(len(key))] % nn).astype(idx_dtype)
         values = np.zeros(s_total + self.capmax, dtype=blocked.dtype)
         # initial values: scatter A3's entries into their slots
         acols = np.repeat(np.arange(n), np.diff(a3.colptr))
@@ -177,7 +184,8 @@ class CompressedTiles:
     @property
     def compressed_bytes(self) -> int:
         return int(self.values.size
-                   * (np.dtype(self.blocked.dtype).itemsize + 2))
+                   * (np.dtype(self.blocked.dtype).itemsize
+                      + self.idx.dtype.itemsize))
 
     @property
     def dense_bytes(self) -> int:

@@ -202,6 +202,102 @@ def _lu_scan_step2(f, k, *, nb, tol):
     return f - lcol * urow - lcol2 * urow2
 
 
+def _lu_blocked(a, *, nb, tol, r=32):
+    """Blocked right-looking LU of one VMEM-resident tile — the MXU
+    analogue of the reference's dense blocked cusolver GETRF
+    (platforms/.../pangulu_platform_0201000.cu:547-641), redesigned
+    for Mosaic's layout rules.
+
+    The plain rank-1 scan (:func:`_lu_scan_step`) advances one column
+    per step with THREE full-tile (nb, nb) VPU passes — 128 sequential
+    steps with the MXU idle.  Here each r-column panel eliminates with
+    rank-1 steps on two (r, nb) buffers (4-8x less VPU traffic per
+    step):
+
+      * ``rb``  — the panel's row block  f[k0:k0+r, :]   (U rows);
+      * ``ct``  — the panel's column block TRANSPOSED, ct[j, p] =
+        f[p, k0+j] (L columns as rows — Mosaic lane slices must be
+        128-aligned, so the column block is extracted/written back via
+        small MXU selection dots instead of slices);
+
+    and the trailing submatrix update is ONE MXU dot per panel
+    (f -= L_panel^T-contraction RBU) instead of r full-tile rank-1
+    VPU updates.  In-panel L columns are scaled immediately (the
+    trailing dot needs them scaled), so the packed-factor convention
+    matches :func:`_lu_finalize` with only a final diagonal clamp.
+
+    Rounding differs from the rank-1 scan only in the trailing
+    accumulation order (one fused MXU sum per panel vs r sequential
+    subtracts) — same backward error model.
+    """
+    dt = a.dtype
+    tol = np.dtype(dt).type(tol)
+    zero = jnp.zeros((), dt)
+    hi = lax.Precision.HIGHEST
+    rows_r = lax.broadcasted_iota(jnp.int32, (r, nb), 0)
+    cols_r = lax.broadcasted_iota(jnp.int32, (r, nb), 1)
+    rows_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols_f = lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    lane = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    f = a
+    for k0 in range(0, nb, r):
+        band = cols_r == rows_r + k0          # in-panel diagonal band
+        sel = jnp.where(band, jnp.ones((), dt), zero)
+        rb = lax.slice(f, (k0, 0), (k0 + r, nb))
+        # ct[j, p] = f[p, k0+j]: contract f's LANE dim against the
+        # selection rows — the MXU does the transpose natively
+        ct = lax.dot_general(sel, f, (((1,), (1,)), ((), ())),
+                             preferred_element_type=dt, precision=hi)
+
+        def step(j, c, k0=k0, band=band):
+            rb, ct = c
+            k = k0 + j
+            urow = jnp.sum(jnp.where(rows_r == j, rb, zero),
+                           axis=0, keepdims=True)        # (1, nb)
+            lrow = jnp.sum(jnp.where(rows_r == j, ct, zero),
+                           axis=0, keepdims=True)        # (1, nb)
+            piv = jnp.sum(jnp.where(lane == k, urow, zero),
+                          axis=1, keepdims=True)          # (1, 1)
+            safe = jnp.where(jnp.abs(piv) < tol,
+                             jnp.asarray(tol, dt), piv)
+            lt = jnp.where(lane > k, lrow / safe, zero)   # scaled L col
+            urow_m = jnp.where(lane > k, urow, zero)
+            # in-panel scalar columns: wl[m] = lt[k0+m], wu[m] =
+            # urow[k0+m] (zero for m <= j via the lane>k masks)
+            wl = jnp.sum(jnp.where(band, lt, zero),
+                         axis=1, keepdims=True)           # (r, 1)
+            wu = jnp.sum(jnp.where(band, urow_m, zero),
+                         axis=1, keepdims=True)           # (r, 1)
+            rb = rb - wl * urow_m
+            ct = jnp.where(rows_r == j,
+                           jnp.where(lane > k, lt, lrow),
+                           ct - wu * lt)
+            return rb, ct
+
+        rb, ct = _fori_loop(0, r, step, (rb, ct))
+        # trailing update: one MXU dot.  In-panel rows/cols receive
+        # garbage here and are overwritten by the writebacks below.
+        upm = cols_r > rows_r + k0
+        rbu = jnp.where(upm, rb, zero)        # U rows, cols > diag
+        lts = jnp.where(upm, ct, zero)        # scaled L cols (rows>diag)
+        f = f - lax.dot_general(lts, rbu, (((0,), (0,)), ((), ())),
+                                preferred_element_type=dt, precision=hi)
+        f = lax.dynamic_update_slice(f, rb, (k0, 0))
+        # expand ct back to block columns (rows > col only: the scaled
+        # L part; upper rows stayed final in f / came back with rb)
+        cte = lax.dot_general(ct, sel, (((0,), (0,)), ((), ())),
+                              preferred_element_type=dt, precision=hi)
+        colmask = ((cols_f >= k0) & (cols_f < k0 + r)
+                   & (rows_f > cols_f))
+        f = jnp.where(colmask, cte, f)
+    # final diagonal clamp (L already scaled in-panel, same `safe`
+    # rule as the per-step scaling)
+    dvec = jnp.sum(jnp.where(rows_f == cols_f, f, zero),
+                   axis=0, keepdims=True)
+    dsafe = jnp.where(jnp.abs(dvec) < tol, jnp.asarray(tol, dt), dvec)
+    return jnp.where(rows_f == cols_f, dsafe, f)
+
+
 def _lu_scan_step_aug(c, k, *, nb, tol):
     """Rank-1 LU step with SCAN-RESIDENT triangle inverses: the same
     elimination as :func:`_lu_scan_step` plus Gauss–Jordan accumulation
@@ -317,6 +413,13 @@ def _lu_inverses(a, *, nb, tol, inv="newton"):
     wrappers)."""
     if inv == "skip":       # debug timing floor: NO valid numerics
         return a, a, a
+    if inv.startswith("blocked"):
+        # MXU-blocked right-looking LU (panel width from the mode
+        # suffix: blocked8/blocked16/blocked32), Newton inverses
+        r = int(inv[len("blocked"):] or 32)
+        f = _lu_blocked(a, nb=nb, tol=tol, r=r)
+        linv, uinv = _newton_inverses(f, nb=nb, tol=tol)
+        return f, linv, uinv
     if inv in ("newton", "newton2", "scanonly"):
         if inv == "newton2" and nb % 2 == 0:
             # rank-2 fused steps: measured a wash on v5e (rcm bench
@@ -409,7 +512,8 @@ def _inv_mode(inv):
     if inv is None:
         import os
         inv = os.environ.get("PANGULU_MEGA_INV", "newton")
-    if inv not in ("scan", "newton", "newton2", "scanonly", "skip"):
+    if inv not in ("scan", "newton", "newton2", "scanonly", "skip",
+                   "blocked", "blocked8", "blocked16", "blocked32"):
         raise ValueError(f"unknown inverse mode {inv!r}")
     # "scanonly"/"skip" are DEBUG TIMING modes (tools/exp_mega_phases):
     # they return invalid inverses/factors and must never auto-dispatch
@@ -481,7 +585,7 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                  sem_diag, sem_inv, sem_cdiag, sem_cinv,
                  sem_l, sem_u, sem_lo, sem_uo, sem_di,
                  sem_do, sem_tab, sem_utab, *, nb, tol, bl, pch, uch,
-                 comb_lw, comb_uw, comb_rw, inv):
+                 comb_lw, comb_uw, comb_rw, inv, superlevel):
     """One elimination level per fori iteration; panels processed in
     chunks of ``pch`` tiles so arbitrarily wide levels (irregular
     orderings) run in bounded VMEM.  Schur updates are sorted by
@@ -578,32 +682,38 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         def udu_at(c, j):
             return _urow(o_udu, udu_c, c, j)
 
-        ahead_self = flag_tab[k] > 0     # my chain ran during level k-1
+        # chain-ahead is a COMPILE-TIME variant (``superlevel``): the
+        # default kernel trace carries none of its branches (measured
+        # no overlap on v5e — see the kernel docstring)
+        ahead_self = (flag_tab[k] > 0 if superlevel
+                      else jnp.asarray(False))
         # run level k+1's chain ahead, inside THIS level's Schur stream
-        do_ahead = jnp.logical_and(k + 1 < i32(bl), flag_tab[nxt] > 0)
+        do_ahead = (jnp.logical_and(k + 1 < i32(bl), flag_tab[nxt] > 0)
+                    if superlevel else jnp.asarray(False))
         dix_n = diag_tab[nxt]
 
-        # chain-ahead epilogue for THIS level: wait the writebacks
-        # started during level k-1 (frees fbuf2/linv2/uinv2 for the
-        # next ahead chain) and promote the inverses to current
-        @pl.when(ahead_self)
-        def _():
-            pltpu.make_async_copy(fbuf2, tiles_out.at[dix],
-                                  sem_cdiag.at[1]).wait()
-            pltpu.make_async_copy(linv2, invs_out.at[lev_tab[k], 0],
-                                  sem_cinv.at[0]).wait()
-            pltpu.make_async_copy(uinv2, invs_out.at[lev_tab[k], 1],
-                                  sem_cinv.at[1]).wait()
-            linv_b[:, :] = linv2[:, :]
-            uinv_b[:, :] = uinv2[:, :]
+        if superlevel:
+            # chain-ahead epilogue for THIS level: wait the writebacks
+            # started during level k-1 (frees fbuf2/linv2/uinv2 for the
+            # next ahead chain) and promote the inverses to current
+            @pl.when(ahead_self)
+            def _():
+                pltpu.make_async_copy(fbuf2, tiles_out.at[dix],
+                                      sem_cdiag.at[1]).wait()
+                pltpu.make_async_copy(linv2, invs_out.at[lev_tab[k], 0],
+                                      sem_cinv.at[0]).wait()
+                pltpu.make_async_copy(uinv2, invs_out.at[lev_tab[k], 1],
+                                      sem_cinv.at[1]).wait()
+                linv_b[:, :] = linv2[:, :]
+                uinv_b[:, :] = uinv2[:, :]
 
-        # start the NEXT chain's diag DMA now: its tile receives no
-        # update from this level (same super-level) and all earlier
-        # levels' writebacks landed at the previous barrier
-        @pl.when(do_ahead)
-        def _():
-            pltpu.make_async_copy(tiles_out.at[dix_n], fbuf2,
-                                  sem_cdiag.at[0]).start()
+            # start the NEXT chain's diag DMA now: its tile receives no
+            # update from this level (same super-level) and all earlier
+            # levels' writebacks landed at the previous barrier
+            @pl.when(do_ahead)
+            def _():
+                pltpu.make_async_copy(tiles_out.at[dix_n], fbuf2,
+                                      sem_cdiag.at[0]).start()
 
         # ---- diagonal step (tile prefetched at the previous level's
         # barrier — its last update had landed there) -------------------
@@ -629,9 +739,9 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                           upan.at[:, pl.ds(pl.multiple_of(i * nb, nb), nb)],
                           sem_u.at[i]).start(), c)[1], 0)
 
-        # in-body chain (levels whose chain did NOT run ahead)
-        @pl.when(jnp.logical_not(ahead_self))
-        def _():
+        # in-body chain (levels whose chain did NOT run ahead); in the
+        # default (non-superlevel) trace this is unconditional
+        def _inbody_chain():
             cin.wait()
             f, li_m, ui_m = _lu_inverses(fbuf[:, :], nb=nb, tol=tol,
                                          inv=inv)
@@ -646,6 +756,11 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                                   sem_inv.at[0]).start()
             pltpu.make_async_copy(uinv_b, invs_out.at[lev_tab[k], 1],
                                   sem_inv.at[1]).start()
+
+        if superlevel:
+            pl.when(jnp.logical_not(ahead_self))(_inbody_chain)
+        else:
+            _inbody_chain()
 
         # ---- panel solves, chunked ------------------------------------
         def _l_copy(i, base, outward):
@@ -731,10 +846,11 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         # the level, so RMW traffic never races the panel writebacks.
         # The NEXT level's chain-ahead scan advances one step per
         # update dot inside this stream (VPU under MXU — near-free).
-        @pl.when(do_ahead)
-        def _():
-            pltpu.make_async_copy(tiles_out.at[dix_n], fbuf2,
-                                  sem_cdiag.at[0]).wait()
+        if superlevel:
+            @pl.when(do_ahead)
+            def _():
+                pltpu.make_async_copy(tiles_out.at[dix_n], fbuf2,
+                                      sem_cdiag.at[0]).wait()
 
         cur0 = (jnp.maximum(nuc - 1, 0), jnp.maximum(nlc - 1, 0),
                 i32(-1), i32(0))
@@ -855,10 +971,11 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
                 # the chain-ahead scan step sits BETWEEN the dot issue
                 # and the dependent subtract: the VPU advances the next
                 # level's scan while the MXU finishes the row product
-                @pl.when(do_ahead & (sj < i32(nb)))
-                def _():
-                    fbuf2[:, :] = _lu_scan_step(fbuf2[:, :], sj,
-                                                nb=nb, tol=tol)
+                if superlevel:
+                    @pl.when(do_ahead & (sj < i32(nb)))
+                    def _():
+                        fbuf2[:, :] = _lu_scan_step(fbuf2[:, :], sj,
+                                                    nb=nb, tol=tol)
 
                 usl = pl.ds(pl.multiple_of((uj - ucj * pch) * nb, nb), nb)
                 dstbuf[j] = dstbuf[j] - prodrow[:, usl]
@@ -892,36 +1009,43 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         # finish the next level's scan (steps the update stream didn't
         # cover), finalize, Newton inverses, and start its writebacks —
         # waited at level k+1 (sem_cdiag[1]/sem_cinv)
-        @pl.when(do_ahead)
-        def _():
-            # tail: VALUE-carried fori (per-step ref round trips cost
-            # ~2x; leaf-ish levels with few updates leave most of the
-            # scan to this tail)
-            f2 = _fori_loop(
-                jnp.minimum(sj_end, i32(nb)), i32(nb),
-                lambda s, f: _lu_scan_step(f, s, nb=nb, tol=tol),
-                fbuf2[:, :])
-            f2 = _lu_finalize(f2, nb=nb, tol=tol)
-            fbuf2[:, :] = f2
-            li2, ui2 = _newton_inverses(f2, nb=nb, tol=tol)
-            linv2[:, :] = li2
-            uinv2[:, :] = ui2
-            pltpu.make_async_copy(fbuf2, tiles_out.at[dix_n],
-                                  sem_cdiag.at[1]).start()
-            pltpu.make_async_copy(linv2, invs_out.at[lev_tab[nxt], 0],
-                                  sem_cinv.at[0]).start()
-            pltpu.make_async_copy(uinv2, invs_out.at[lev_tab[nxt], 1],
-                                  sem_cinv.at[1]).start()
+        if superlevel:
+            @pl.when(do_ahead)
+            def _():
+                # tail: VALUE-carried fori (per-step ref round trips
+                # cost ~2x; leaf-ish levels with few updates leave most
+                # of the scan to this tail)
+                f2 = _fori_loop(
+                    jnp.minimum(sj_end, i32(nb)), i32(nb),
+                    lambda s, f: _lu_scan_step(f, s, nb=nb, tol=tol),
+                    fbuf2[:, :])
+                f2 = _lu_finalize(f2, nb=nb, tol=tol)
+                fbuf2[:, :] = f2
+                li2, ui2 = _newton_inverses(f2, nb=nb, tol=tol)
+                linv2[:, :] = li2
+                uinv2[:, :] = ui2
+                pltpu.make_async_copy(fbuf2, tiles_out.at[dix_n],
+                                      sem_cdiag.at[1]).start()
+                pltpu.make_async_copy(linv2,
+                                      invs_out.at[lev_tab[nxt], 0],
+                                      sem_cinv.at[0]).start()
+                pltpu.make_async_copy(uinv2,
+                                      invs_out.at[lev_tab[nxt], 1],
+                                      sem_cinv.at[1]).start()
 
         # ---- level barrier ---------------------------------------------
-        @pl.when(jnp.logical_not(ahead_self))
-        def _():
+        def _barrier():
             pltpu.make_async_copy(fbuf, tiles_out.at[dix],
                                   sem_diag.at[1]).wait()
             pltpu.make_async_copy(linv_b, invs_out.at[lev_tab[k], 0],
                                   sem_inv.at[0]).wait()
             pltpu.make_async_copy(uinv_b, invs_out.at[lev_tab[k], 1],
                                   sem_inv.at[1]).wait()
+
+        if superlevel:
+            pl.when(jnp.logical_not(ahead_self))(_barrier)
+        else:
+            _barrier()
 
         # last Schur chunk's dst writebacks deferred from the chunk loop
         @pl.when(nup > 0)
@@ -949,10 +1073,14 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
         # the next level's LU starts without a DMA wait (skipped when
         # the next level's chain ran AHEAD — its tile is already
         # consumed; mirrored in the post-loop drain)
-        @pl.when(flag_tab[nxt] == 0)
-        def _():
+        def _prefetch_next():
             pltpu.make_async_copy(tiles_out.at[diag_tab[nxt]],
                                   fbuf, sem_diag.at[0]).start()
+
+        if superlevel:
+            pl.when(flag_tab[nxt] == 0)(_prefetch_next)
+        else:
+            _prefetch_next()
 
         return carry
 
@@ -961,10 +1089,14 @@ def _mega_kernel(diag_tab, nl_tab, nu_tab, nup_tab, flag_tab, lev_tab,
 
     # drain the final diag prefetch (issued by the last barrier only
     # when the last level's chain did not run ahead)
-    @pl.when(flag_tab[bl - 1] == 0)
-    def _():
+    def _drain_last():
         pltpu.make_async_copy(tiles_out.at[diag_tab[bl - 1]], fbuf,
                               sem_diag.at[0]).wait()
+
+    if superlevel:
+        pl.when(flag_tab[bl - 1] == 0)(_drain_last)
+    else:
+        _drain_last()
 
 
 # Panel chunk width: both the factorization and solve kernels stream
@@ -1000,6 +1132,11 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
     None the kernel behaves exactly as before (every chain in-body).
     """
     dt = tiles.dtype
+    # COMPILE-TIME variant selection: chain-ahead machinery only traces
+    # into the kernel when super-level tables are supplied (the default
+    # hot kernel carries no disabled-feature branches; the None-vs-array
+    # pytree structure keys the jit cache)
+    superlevel = flag_tab is not None
     if flag_tab is None:
         flag_tab = jnp.zeros(bl, jnp.int32)
     if lev_tab is None:
@@ -1067,7 +1204,7 @@ def mega_factorize(tiles, diag_tab, nl_tab, nu_tab, nup_tab,
         functools.partial(_mega_kernel, nb=nb, tol=tol, bl=bl,
                           pch=pch, uch=uch, comb_lw=lid_w,
                           comb_uw=uid_w, comb_rw=row_w,
-                          inv=_inv_mode(inv)),
+                          inv=_inv_mode(inv), superlevel=superlevel),
         out_shape=(jax.ShapeDtypeStruct(tiles.shape, dt),
                    jax.ShapeDtypeStruct((bl, 2, nb, nb), dt)),
         grid_spec=grid_spec,

@@ -148,9 +148,13 @@ class PanelLU:
                        * np.dtype(blocked.dtype).itemsize)
             panel_width = int(min(max(budget // max(per_col, 1), 4), bl))
         self.panel_width = panel_width
-        # inverse store for the solve (dense, [bl, 2, nb, nb])
+        # inverse store for the solve (dense, [bl, 2, nb, nb]);
+        # per-panel inverse outputs stay ON DEVICE during the loop
+        # (a host readback here costs a full ~26 ms tunnel RTT *and*
+        # stalls the dispatch pipeline once per panel) and are
+        # concatenated after the last panel.
         self.inv_tiles = None
-        self._inv_host = np.zeros((bl, 2, nb, nb), dtype=blocked.dtype)
+        self._inv_parts: list = []
         # per-tile block coords
         nt = blocked.num_tiles
         self._rows = np.empty(nt, dtype=np.int64)
@@ -251,7 +255,7 @@ class PanelLU:
             None if "flag_tab" not in t else jnp.asarray(t["flag_tab"]),
             None if "lev_tab" not in t else jnp.asarray(t["lev_tab"]),
             nb=nb, tol=mtol, bl=c1 - c0, pch=t["pch"], uch=t["uch"])
-        self._inv_host[c0:c1] = np.asarray(invs)
+        self._inv_parts.append(invs)
 
         # 3. out-of-cross Schur updates, chunked by destination groups
         if len(odst):
@@ -296,11 +300,15 @@ class PanelLU:
     def factorize(self):
         bl = self.schedule.block_length
         w = self.panel_width
+        self._inv_parts = []
         with self.perf.phase("numeric"):
             for c0 in range(0, bl, w):
                 self._panel_pass(c0, min(c0 + w, bl))
             self.store.values = device_sync(self.store.values)
-        self.inv_tiles = jnp.asarray(self._inv_host)
+        self.inv_tiles = (jnp.concatenate(self._inv_parts)
+                          if len(self._inv_parts) > 1
+                          else self._inv_parts[0])
+        self._inv_parts = []
         self.perf.add_flops(self.schedule.flop_estimate())
         self.perf.kernel_counts(
             getrf=bl, tstrf=self.schedule.n_tstrf,

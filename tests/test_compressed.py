@@ -104,13 +104,31 @@ def test_compressed_refactorize_fast_path():
     finalize(h)
 
 
-def test_compressed_rejects_nb_over_255():
-    """u16 in-tile positions cap nb at 255 (sentinel nb*nb must fit);
-    nb=256 must fail with a clear error upfront, not an OverflowError
-    deep in numpy."""
+def test_compressed_nb256_uses_u32_slots():
+    """nb=256 (the reference DEFAULT block size, pangulu.c:52-56)
+    promotes in-tile positions to u32 (sentinel 256*256 exceeds u16)
+    and stays numerically correct end to end."""
+    a = poisson2d(20)          # n=400 -> bl=2 at nb=256
+    ro, blocked, schedule = _problem(a, 256)
+    st = CompressedTiles(blocked, ro.reordered)
+    assert st.idx.dtype == np.uint32
+    dense = np.asarray(st)
+    np.testing.assert_array_equal(dense[: blocked.num_tiles],
+                                  blocked.tiles[: blocked.num_tiles])
+    h = init(a, InitOptions(nb=256, dtype="r64",
+                            tile_storage="compressed"))
+    b = generated_rhs(a)
+    x = gssv(h, b)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-9
+    finalize(h)
+
+
+def test_compressed_rejects_nb_over_65535():
+    """u32 slots bound nb at 65535 — same bound as the reference's u16
+    in-block row/col indices (pangulu_common.h:54-65)."""
     a = poisson2d(8)
-    with pytest.raises(ValueError, match="uint16|255"):
-        init(a, InitOptions(nb=256, dtype="r64",
+    with pytest.raises(ValueError, match="65535"):
+        init(a, InitOptions(nb=65536, dtype="r64",
                             tile_storage="compressed"))
 
 

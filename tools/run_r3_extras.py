@@ -51,15 +51,31 @@ def main():
     print(f"dd r64 n={a.n} dispatch={disp} init {t_init:.1f}s "
           f"gstrf {t_f:.1f}s (incl compile) gstrs {t_s:.1f}s "
           f"residual {res:.3e} {'OK' if ok else 'FAIL'}", flush=True)
-    # steady-state factorization rate (K chained runs + one sync)
-    fac = h._factorizer
+    # steady-state factorization rate: K runs + one sync, each run
+    # factoring the ORIGINAL matrix values.  The dd engines donate
+    # their tile inputs, so keep a pristine hi/lo pair on device and
+    # feed a device-side copy each iteration (the copy is a cheap
+    # async device op, no round trip; refeeding factored output would
+    # time meaningless/overflowing inputs).
+    import jax.numpy as jnp
+
+    from pangulu_tpu.numeric import DdTiles
     from pangulu_tpu.utils import device_sync
-    tiles = device_sync(fac.factorize(sync=False))
+
+    fac = h._factorizer
+    host = h.blocked.tiles
+    hi = np.asarray(host, dtype=np.float32)
+    lo = (np.asarray(host, dtype=np.float64)
+          - hi.astype(np.float64)).astype(np.float32)
+    th0 = device_sync(jnp.asarray(hi))
+    tl0 = device_sync(jnp.asarray(lo))
+    tiles = fac.factorize(DdTiles(th0 + 0, tl0 + 0), sync=False)
+    device_sync(tiles.hi)          # warm
     k = 5
     t0 = time.perf_counter()
     for _ in range(k):
-        tiles = fac.factorize(tiles, sync=False)
-    device_sync(tiles)
+        tiles = fac.factorize(DdTiles(th0 + 0, tl0 + 0), sync=False)
+    device_sync(tiles.hi)
     dt = (time.perf_counter() - t0) / k
     gf = h.schedule.flop_estimate() / dt / 1e9
     print(f"dd r64 n={a.n} steady: {dt*1e3:.1f} ms/fact = {gf:.0f} "
@@ -90,11 +106,14 @@ def main():
         worst = max(worst, res)
         print(f"cr64 soak cycle {c}: residual {res:.3e}", flush=True)
     disp = h._factorizer.dispatch if h._factorizer else "?"
+    soak_ok = worst < 1e-10
     print(f"cr64 soak n={ac.n} cycles={cycles} dispatch={disp} worst "
-          f"residual {worst:.3e} {'OK' if worst < 1e-10 else 'FAIL'}",
+          f"residual {worst:.3e} {'OK' if soak_ok else 'FAIL'}",
           flush=True)
     finalize(h)
+    # exit nonzero when either gate fails so automation can detect it
+    return 0 if (ok and soak_ok) else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
