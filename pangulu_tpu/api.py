@@ -536,11 +536,13 @@ def gstrs_device(handle: Handle, b, refine: int = 0):
         raise RuntimeError("gstrs called before gstrf (reference aborts "
                            "the same way)")
     if (handle._dist is not None and handle._dist.single is None) or \
-            isinstance(handle.factor_tiles, (CompressedTiles, DdTiles)) \
+            isinstance(handle.factor_tiles, CompressedTiles) \
             or handle.complex_embed is not None:
         raise NotImplementedError(
-            "gstrs_device supports the single-chip dense-tile path; "
-            "for dd (r64) factors use TriangularSolver.solve_blocked")
+            "gstrs_device supports the single-chip dense/dd tile paths "
+            "(not distributed/compressed/complex-embedded factors)")
+    if isinstance(handle.factor_tiles, DdTiles):
+        return _gstrs_device_dd(handle, b, refine)
     if handle._trisolver is None:
         backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
                               dtype=handle.blocked.dtype)
@@ -590,6 +592,82 @@ def gstrs_device(handle: Handle, b, refine: int = 0):
         w = w + dw
     xflat = w[:bl].reshape(bl * nb, nrhs)[:n]
     out = xflat[out_idx] * out_scale[:, None]
+    return out[:, 0] if squeeze else out
+
+
+def _gstrs_device_dd(handle: Handle, b, refine: int = 0):
+    """Device-resident r64 (dd) serving solve: ``b`` is an f64 jax
+    array ``[n]``/``[n, nrhs]`` (or an ``(bh, bl)`` f32 pair) already
+    on device.  The permute/scale chain runs as dd-pair ops on the f32
+    VPU (elementwise f64 on TPU is emulated and slow; only the single
+    initial hi/lo split and the final combine touch f64), the dd IR
+    solve chains device-side, and the result returns as ONE f64 device
+    array with NO host sync — back-to-back r64 solves cost zero tunnel
+    round trips between them (a single round trip here is ~26 ms,
+    ~7x a chained dd solve).  Reference: pangulu_sptrsv.c:176 repeated
+    host solves; this is the TPU-serving equivalent."""
+    import jax.numpy as jnp
+
+    from pangulu_tpu.ops import dd as D
+    from pangulu_tpu.sptrsv import TriangularSolver
+
+    if refine:
+        raise NotImplementedError(
+            "dd gstrs_device runs its built-in device-side dd "
+            "iterative refinement (TriangularSolver.dd_ir_iters); "
+            "extra refine rounds are folded in")
+    if handle._trisolver is None:
+        backend = get_backend(handle.opts.backend, nb=handle.opts.nb,
+                              dtype=handle.blocked.dtype)
+        handle._trisolver = TriangularSolver(
+            handle.blocked, handle.schedule, backend=backend,
+            perf=handle.perf,
+            inv_tiles=getattr(handle._factorizer, "inv_tiles", None))
+    solver = handle._trisolver
+    bl, nb = handle.schedule.block_length, handle.schedule.nb
+    n = handle.blocked.n
+    if getattr(handle, "_device_transforms_dd", None) is None:
+        ro = handle.reordering
+        pad = bl * nb - n
+        in_idx = np.concatenate([ro.perm, np.zeros(pad, np.int64)])
+        in_scale = np.concatenate([ro.row_scale[ro.perm],
+                                   np.zeros(pad)])
+        ish = in_scale.astype(np.float32)
+        isl = (in_scale - ish.astype(np.float64)).astype(np.float32)
+        cpinv = np.empty(n, np.int64)
+        cpinv[ro.colperm] = np.arange(n)
+        invperm = np.empty(n, np.int64)
+        invperm[ro.perm] = np.arange(n)
+        out_idx = invperm[cpinv]
+        osh = ro.col_scale.astype(np.float32)
+        osl = (ro.col_scale
+               - osh.astype(np.float64)).astype(np.float32)
+        handle._device_transforms_dd = tuple(
+            jnp.asarray(x) for x in (in_idx, ish, isl, out_idx, osh,
+                                     osl))
+    in_idx, ish, isl, out_idx, osh, osl = handle._device_transforms_dd
+    if isinstance(b, tuple):
+        bh, blo = b
+    else:
+        b64 = jnp.asarray(b, jnp.float64)
+        bh = b64.astype(jnp.float32)
+        blo = (b64 - bh.astype(jnp.float64)).astype(jnp.float32)
+    squeeze = bh.ndim == 1
+    if squeeze:
+        bh, blo = bh[:, None], blo[:, None]
+    nrhs = bh.shape[1]
+    bth, btl = D.dd_mul(bh[in_idx], blo[in_idx],
+                        ish[:, None], isl[:, None])
+    xh = jnp.zeros((bl + 1, nb, nrhs), jnp.float32
+                   ).at[:bl].set(bth.reshape(bl, nb, nrhs))
+    xl = jnp.zeros((bl + 1, nb, nrhs), jnp.float32
+                   ).at[:bl].set(btl.reshape(bl, nb, nrhs))
+    oh, ol = solver.solve_blocked(handle.factor_tiles, (xh, xl))
+    oh = oh[:bl].reshape(bl * nb, nrhs)[:n]
+    ol = ol[:bl].reshape(bl * nb, nrhs)[:n]
+    oh, ol = D.dd_mul(oh[out_idx], ol[out_idx],
+                      osh[:, None], osl[:, None])
+    out = oh.astype(jnp.float64) + ol.astype(jnp.float64)
     return out[:, 0] if squeeze else out
 
 

@@ -329,7 +329,19 @@ class LUFactorizer:
             elif self._dd_eligible():
                 # r64 on TPU: double-float engine on the f32 MXU (the
                 # emulated-f64 path is ~1000x slower)
-                if self._group_worthwhile():
+                import os
+
+                if (self.backend.name == "pallas"
+                        and self.blocked.nb in (128, 256)
+                        and os.environ.get("PANGULU_TPU_DD_MEGA")
+                        != "0"):
+                    # single-launch dd mega kernel: removes the XLA
+                    # fori per-level op-dispatch latency (~456 us/level
+                    # measured at n=4096) exactly as the f32 mega does
+                    dispatch = "dd_mega"
+                    reason = ("f64 on TPU -> double-float f32 engine, "
+                              "single-launch Pallas dd mega kernel")
+                elif self._group_worthwhile():
                     dispatch = "dd_group"
                     reason = ("f64 on TPU -> double-float f32 engine, "
                               "batched super-level groups")
@@ -367,7 +379,13 @@ class LUFactorizer:
         self._super_segments = None
         self._mega = None
         self.inv_tiles = None  # [bl, 2, nb, nb] after a mega factorize
-        if dispatch == "dd":
+        if dispatch == "dd_mega":
+            from pangulu_tpu.ops.kernels_pallas_dd import (DD_MAX_PCH,
+                                                           DD_UCH)
+
+            self._mega = self.schedule.mega_tables(
+                self.blocked.num_tiles, uch=DD_UCH, max_pch=DD_MAX_PCH)
+        elif dispatch == "dd":
             self._fused_args = tuple(
                 jnp.asarray(t) for t in
                 self.schedule.fused_tables(self.blocked.num_tiles))
@@ -534,7 +552,7 @@ class LUFactorizer:
         final sync.  The returned tiles are a valid async value either
         way.
         """
-        if self.dispatch in ("dd", "dd_group"):
+        if self.dispatch in ("dd", "dd_group", "dd_mega"):
             from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
 
             if isinstance(tiles, DdTiles):
@@ -551,7 +569,15 @@ class LUFactorizer:
             tol = (self.backend.tol if self.backend.tol is not None
                    else float(DEFAULT_TOL[jnp.dtype(np.float64)]))
             with self.perf.phase("numeric"):
-                if self.dispatch == "dd_group":
+                if self.dispatch == "dd_mega":
+                    from pangulu_tpu.ops.kernels_pallas_dd import (
+                        mega_factorize_dd,
+                    )
+
+                    th, tl, invh, invl = mega_factorize_dd(
+                        th, tl, self._mega, nb=self.blocked.nb,
+                        tol=tol, bl=self.schedule.block_length)
+                elif self.dispatch == "dd_group":
                     # +1 scratch inverse row for padding group members
                     nb = self.blocked.nb
                     invh = jnp.zeros(

@@ -492,7 +492,6 @@ class TriangularSolver:
                     mega["ucrow_tab"], gtabs, nb=nb, bl=bl, npan=npan,
                     iters=self.dd_ir_iters, use_mega=use_mega,
                     ggeo=ggeo)
-                oh = device_sync(oh)
         else:
             _, l_ids, l_rows, uc_ids, uc_rows = (
                 jnp.asarray(t) for t in self.schedule.fused_solve_tables(
@@ -501,9 +500,15 @@ class TriangularSolver:
                 oh, ol = _fused_solve_dd(
                     tiles.hi, tiles.lo, invh, invl, jnp.asarray(xh),
                     jnp.asarray(xl), l_ids, l_rows, uc_ids, uc_rows)
-                oh = device_sync(oh)
-        out = (np.asarray(oh).astype(np.float64)
-               + np.asarray(ol).astype(np.float64))
+        # ONE batched transfer for both planes: on the tunneled backend
+        # every independent host read costs a full ~26 ms round trip
+        # (device_sync + two np.asarray reads here measured as the
+        # 85-115 ms single-call dd gstrs cliff, BASELINE r3); a single
+        # device_get forces completion AND moves both arrays in one
+        # trip.
+        with self.perf.phase("sptrsv"):
+            oh_host, ol_host = jax.device_get((oh, ol))
+        out = (oh_host.astype(np.float64) + ol_host.astype(np.float64))
         out = out[:bl].reshape(bl * nb, nrhs)[: self.blocked.n]
         return out[:, 0] if squeeze else out
 

@@ -327,3 +327,62 @@ def test_dd_ir_solve_grouped_correction_matches():
     from pangulu_tpu.utils.perf import residual_norm as _rn
 
     assert _rn(ro.reordered.to_scipy(), x, b) < 1e-12
+
+
+def test_dd_mega_matches_dd_engine():
+    """The single-launch dd mega kernel (kernels_pallas_dd, interpret
+    mode here) must match the XLA dd engine to dd rounding and produce
+    dd-accurate triangle inverses."""
+    a = poisson2d(12)
+    ro, blocked, schedule = _problem(a, 16)
+    t_dd = np.asarray(LUFactorizer(blocked, schedule,
+                                   dispatch="dd").factorize())
+    fac = LUFactorizer(blocked, schedule, dispatch="dd_mega")
+    tiles = fac.factorize()
+    assert isinstance(tiles, DdTiles)
+    nt = blocked.num_tiles
+    t_mega = np.asarray(tiles)
+    np.testing.assert_allclose(t_mega[:nt], t_dd[:nt],
+                               rtol=1e-13, atol=1e-13)
+    # inverse quality at every level: dd-class ||inv(T) T - I||
+    ih, il = (np.asarray(x, dtype=np.float64) for x in fac.inv_tiles)
+    nb = blocked.nb
+    for k, lev in enumerate(schedule.levels):
+        d = t_mega[lev.diag]
+        lmat = np.tril(d, -1) + np.eye(nb)
+        umat = np.triu(d)
+        li = ih[k, 0] + il[k, 0]
+        ui = ih[k, 1] + il[k, 1]
+        assert np.max(np.abs(li @ lmat - np.eye(nb))) < 1e-12
+        assert np.max(np.abs(ui @ umat - np.eye(nb))) < 1e-12
+
+
+def test_dd_mega_end_to_end_solve():
+    """dd_mega factors + the dd solve reach f64-class residuals."""
+    a = smallworld(12)
+    ro, blocked, schedule = _problem(a, 16)
+    fac = LUFactorizer(blocked, schedule, dispatch="dd_mega")
+    tiles = fac.factorize()
+    ts = TriangularSolver(blocked, schedule, inv_tiles=fac.inv_tiles)
+    b = generated_rhs(a)
+    w = ts.solve(tiles, ro.transform_b(b))
+    x = ro.transform_x(w)
+    assert residual_norm(a.to_scipy(), x, b) < 1e-12
+
+
+def test_dd_mega_multichunk_panels():
+    """A level wider than the dd panel chunk (pch) exercises the
+    chunked panel loop and the Schur chunk-reload path."""
+    a = smallworld(20, seed=2)
+    ro, blocked, schedule = _problem(a, 16)
+    t_dd = np.asarray(LUFactorizer(blocked, schedule,
+                                   dispatch="dd").factorize())
+    # force tiny chunks so multi-chunk paths engage even on a small
+    # problem: rebuild the tables with pch=2, uch=8
+    fac = LUFactorizer(blocked, schedule, dispatch="dd_mega")
+    fac._mega = schedule.mega_tables(blocked.num_tiles, uch=8,
+                                     max_pch=2)
+    tiles = fac.factorize()
+    nt = blocked.num_tiles
+    np.testing.assert_allclose(np.asarray(tiles)[:nt], t_dd[:nt],
+                               rtol=1e-13, atol=1e-13)

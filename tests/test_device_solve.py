@@ -78,16 +78,34 @@ def test_gstrs_device_r64_cpu_path():
     assert residual_norm(a.to_scipy(), x, b) < 1e-12
 
 
-def test_gstrs_device_rejects_dd_factors():
-    """dd-pair (TPU r64) factors route to solve_blocked, not
-    gstrs_device (the dd rhs must arrive as an (hi, lo) f32 pair)."""
-    from pangulu_tpu.numeric import DdTiles
+def test_gstrs_device_dd_factors():
+    """dd-pair (TPU r64) factors: gstrs_device runs the whole
+    permute/scale/dd-IR-solve chain device-side as dd-pair ops
+    (VERDICT r3 #5 — kills the 85-115 ms per-call r64 solve cliff)."""
+    from pangulu_tpu.numeric import DdTiles, LUFactorizer
 
-    a, h = _setup(dtype="r32")
-    h.factor_tiles = DdTiles(jnp.zeros((1, 4, 4), jnp.float32),
-                             jnp.zeros((1, 4, 4), jnp.float32))
-    with pytest.raises(NotImplementedError, match="solve_blocked"):
-        gstrs_device(h, jnp.zeros(a.n))
+    a, h = _setup(dtype="r64")
+    # re-factor with the dd engine on the same handle (the path a TPU
+    # r64 init auto-dispatches; forced here so CPU covers it too)
+    fac = LUFactorizer(h.blocked, h.schedule, dispatch="dd_mega")
+    h.factor_tiles = fac.factorize()
+    assert isinstance(h.factor_tiles, DdTiles)
+    h._factorizer = fac
+    h._trisolver = None
+    b = a.to_scipy() @ np.arange(1.0, a.n + 1)
+    x = np.asarray(gstrs_device(h, jnp.asarray(b)))
+    assert x.dtype == np.float64
+    assert residual_norm(a.to_scipy(), x, b) < 1e-12
+    # multi-rhs + chain without host transfers
+    rng = np.random.default_rng(5)
+    b2 = rng.standard_normal((a.n, 2))
+    x2 = gstrs_device(h, jnp.asarray(b2))
+    y2 = gstrs_device(h, x2)
+    for c in range(2):
+        assert residual_norm(a.to_scipy(), np.asarray(x2)[:, c],
+                             b2[:, c]) < 1e-12
+        assert residual_norm(a.to_scipy(), np.asarray(y2)[:, c],
+                             np.asarray(x2)[:, c]) < 1e-12
 
 
 def test_solve_blocked_roundtrip():

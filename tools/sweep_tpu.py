@@ -213,11 +213,12 @@ print(f"{'transpose solve':22s} n={a.n:7d} dispatch=trans      "
 finalize(h)
 
 # r64 batched-group dd engine (wave-split updates) under an aligned-ND
-# schedule: auto-dispatch must pick dd_group and keep dd-class
-# residuals on chip
+# schedule (pinned: auto now prefers the single-launch dd mega kernel)
+os.environ["PANGULU_TPU_DD_MEGA"] = "0"
 a = poisson3d(12)
 h = init(a, InitOptions(nb=128, dtype="r64", ordering="nd"))
 gstrf(h)
+del os.environ["PANGULU_TPU_DD_MEGA"]
 disp = h._factorizer.dispatch
 b = np.asarray(a.to_scipy() @ np.ones(a.n))
 x = gstrs(h, b)
@@ -227,6 +228,76 @@ print(f"{'r64 dd_group nd':22s} n={a.n:7d} dispatch={disp:10s} "
       f"{'OK' if res < 1e-10 and disp == 'dd_group' else 'FAIL'}",
       flush=True)
 finalize(h)
+
+# single-launch dd MEGA kernel (round 4): auto-dispatch on r64, dd
+# residuals, steady-state rate, and the device-resident dd serving
+# solve (gstrs_device on dd factors: one f64 split + dd-pair
+# permute/scale + in-kernel IR, zero host round trips when chained)
+a = poisson3d(16)
+h = init(a, InitOptions(nb=128, dtype="r64"))
+gstrf(h)
+disp = h._factorizer.dispatch
+b = np.asarray(a.to_scipy() @ np.ones(a.n))
+x = gstrs(h, b)
+res = residual_norm(a.to_scipy(), x, b)
+t0 = time.perf_counter()
+x = gstrs(h, b)
+dt1 = time.perf_counter() - t0        # single-call latency (1 RTT)
+from pangulu_tpu.api import gstrs_device  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+xd = gstrs_device(h, jnp.asarray(b))
+xd2 = gstrs_device(h, xd)             # chained, no host transfer
+res_d = residual_norm(a.to_scipy(), np.asarray(xd), b)
+res_d2 = residual_norm(a.to_scipy(), np.asarray(xd2), np.asarray(xd))
+ok = (res < 1e-10 and res_d < 1e-10 and res_d2 < 1e-10
+      and disp == "dd_mega")
+print(f"{'r64 dd_mega p3d(16)':22s} n={a.n:7d} dispatch={disp:10s} "
+      f"residual={res:.2e} dev-serve={res_d:.2e}/{res_d2:.2e} "
+      f"single-call {dt1*1e3:.1f} ms {'OK' if ok else 'FAIL'}",
+      flush=True)
+# steady-state dd factorization rate on pristine device-side copies
+from pangulu_tpu.numeric import DdTiles  # noqa: E402
+from pangulu_tpu.utils import device_sync  # noqa: E402
+host = h.blocked.tiles
+hi = host.astype(np.float32)
+lo = (host - hi.astype(np.float64)).astype(np.float32)
+th0 = device_sync(jnp.asarray(hi))
+tl0 = device_sync(jnp.asarray(lo))
+fac = h._factorizer
+tiles = fac.factorize(DdTiles(th0 + 0, tl0 + 0), sync=False)
+device_sync(tiles.hi)
+t0 = time.perf_counter()
+K = 10
+for _ in range(K):
+    tiles = fac.factorize(DdTiles(th0 + 0, tl0 + 0), sync=False)
+device_sync(tiles.hi)
+dt = (time.perf_counter() - t0) / K
+gf = h.schedule.flop_estimate() / dt / 1e9
+print(f"{'r64 dd_mega steady':22s} n={a.n:7d} {dt*1e3:.1f} ms/fact = "
+      f"{gf:.0f} GF (dense model) "
+      f"{'OK' if dt < 0.0049 else 'SLOW'}  (r3 XLA dd: 14.6 ms)",
+      flush=True)
+finalize(h)
+
+# MXU-blocked diag LU (round 4, inv='blocked*'): Mosaic lowering +
+# on-chip parity vs the rank-1 scan — interpret-mode tests cannot
+# catch lane-alignment/dot-lowering failures in the new block ops
+from pangulu_tpu.ops.kernels_pallas import getrf_with_inverses  # noqa: E402
+rng = np.random.default_rng(0)
+for nb_ in (128, 256):
+    aa = (rng.standard_normal((nb_, nb_))
+          + nb_ * np.eye(nb_)).astype(np.float32)
+    f0 = np.asarray(getrf_with_inverses(jnp.asarray(aa),
+                                        inv="newton")[0])
+    worst = 0.0
+    for mode in ("blocked8", "blocked16", "blocked32"):
+        f1 = np.asarray(getrf_with_inverses(jnp.asarray(aa),
+                                            inv=mode)[0])
+        worst = max(worst, float(np.max(np.abs(f1 - f0))
+                                 / np.max(np.abs(f0))))
+    print(f"{'blocked LU nb=' + str(nb_):22s} n={nb_:7d} "
+          f"vs scan rel-err={worst:.2e} "
+          f"{'OK' if worst < 1e-5 else 'FAIL'}", flush=True)
 
 # batched-group mega SOLVE under an aligned-ND schedule (kernel
 # mega_solve_groups: per-group member contractions + packed-tab SMEM
