@@ -53,6 +53,9 @@ class BlockedMatrix:
     dtype: object = None
     _lookup: np.ndarray | None = None  # dense (bl, bl) -> tile id or -1
     _host_tiles: np.ndarray | None = None
+    # lazy sorted (col*bl + row) pattern keys for the vectorized
+    # tile_ids fallback above _DENSE_LOOKUP_MAX_BL
+    _pat_keys: np.ndarray | None = None
 
     @property
     def tiles(self) -> np.ndarray:
@@ -87,11 +90,25 @@ class BlockedMatrix:
         return -1
 
     def tile_ids(self, bi_arr, bj_arr):
-        """Vectorized tile_id over arrays (requires dense lookup)."""
+        """Vectorized tile_id over arrays: dense-lookup gather when the
+        [bl, bl] table exists, else a batched searchsorted against the
+        column-major pattern keys (the per-element Python fallback was
+        catastrophic at scale: the >16 GB out-of-core demo called this
+        over ~9e8 fill entries — hours of interpreter loop and tens of
+        GB of boxed ints)."""
         if self._lookup is not None:
-            return self._lookup[bi_arr, bj_arr]
-        return np.array([self.tile_id(i, j)
-                         for i, j in zip(bi_arr, bj_arr)], dtype=np.int64)
+            return self._lookup[bi_arr, bj_arr].astype(np.int64)
+        if self._pat_keys is None:
+            cols = np.repeat(np.arange(self.block_length),
+                             np.diff(self.bcolptr))
+            # CSC order with sorted row indices per column == sorted
+            # by (col, row): the keys are already ascending
+            self._pat_keys = cols * self.block_length + self.browidx
+        q = (np.asarray(bj_arr, dtype=np.int64) * self.block_length
+             + np.asarray(bi_arr, dtype=np.int64))
+        r = np.searchsorted(self._pat_keys, q)
+        r_c = np.minimum(r, len(self._pat_keys) - 1)
+        return np.where(self._pat_keys[r_c] == q, r_c, -1)
 
 
 def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
@@ -107,7 +124,9 @@ def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
 
     lookup = None
     if bl <= _DENSE_LOOKUP_MAX_BL:
-        lookup = np.full((bl, bl), -1, dtype=np.int64)
+        # int32 halves the gather bytes of the hottest preprocess pass
+        # (bl and num_tiles are far below 2^31)
+        lookup = np.full((bl, bl), -1, dtype=np.int32)
         cols = np.repeat(np.arange(bl), np.diff(bcolptr))
         lookup[browidx, cols] = np.arange(num_tiles)
 

@@ -100,19 +100,35 @@ class CompressedTiles:
                 f"65535 (got nb={nb})")
         li, lj = _scalar_fill_entries(a3)
         n = a3.n
+        nf = len(li)
+        total = 2 * nf + bl * nb
+        # Build every entry's sort key tid*nn + pos in three segments
+        # WITHOUT materializing the concatenated (gi, gj) int64 pairs,
+        # then sort IN PLACE.  After the sort, slot space is dense in
+        # sorted order (off = exact cumsum of per-tile counts, keys
+        # sorted by (tid, pos)), so slot-of-sorted-position-p is p —
+        # the previous ranks/first/slots gathers (several full passes
+        # over hundreds of millions of int64 on a 1-core host — the
+        # dominant cost of the >16 GB out-of-core demo's preprocess)
+        # all collapse away.
+        key = np.empty(total, dtype=np.int64)
+        count = np.zeros(nt, dtype=np.int64)
+
+        def seg_key(out, i, j):
+            tid = blocked.tile_ids(i // nb, j // nb)
+            assert len(tid) == 0 or tid.min() >= 0, \
+                "scalar fill outside the block pattern"
+            # counts are order-invariant: bincount before sorting
+            count[:] += np.bincount(tid, minlength=nt)
+            np.multiply(tid, nn, out=out, casting="unsafe")
+            out += (i % nb).astype(np.int64) * nb
+            out += j % nb
+
+        seg_key(key[:nf], li, lj)
+        seg_key(key[nf:2 * nf], lj, li)
         diag = np.arange(bl * nb, dtype=np.int64)  # incl padded tail
-        gi = np.concatenate([li.astype(np.int64), lj.astype(np.int64),
-                             diag])
-        gj = np.concatenate([lj.astype(np.int64), li.astype(np.int64),
-                             diag])
-        tid = blocked.tile_ids(gi // nb, gj // nb)
-        assert (tid >= 0).all(), "scalar fill outside the block pattern"
-        pos = (gi % nb) * nb + (gj % nb)
-        key = tid * nn + pos
-        order = np.argsort(key)
-        key = key[order]
-        tid_s = tid[order]
-        count = np.bincount(tid_s, minlength=nt).astype(np.int64)
+        seg_key(key[2 * nf:], diag, diag)
+        key.sort()
         # capacities are EXACT counts: only the gather width (capmax)
         # must be static, so per-tile padding would be pure waste (the
         # reference pads to 7 bin classes because its slots are
@@ -121,34 +137,30 @@ class CompressedTiles:
         off = np.zeros(nt + 1, dtype=np.int64)
         off[1:] = np.cumsum(cap)
         s_total = int(off[-1])
+        assert s_total == total
         self.capmax = int(max(bucket(int(count.max(initial=1))), 1))
-        # slot of each pattern entry: off[tile] + rank within tile
-        first = np.zeros(nt, dtype=np.int64)
-        first[1:] = np.cumsum(count)[:-1]
-        ranks = np.arange(len(key)) - first[tid_s]
-        slots = off[tid_s] + ranks
         idx = np.full(s_total + self.capmax, nn, dtype=idx_dtype)
-        idx[slots] = (key[np.arange(len(key))] % nn).astype(idx_dtype)
+        np.mod(key, nn, out=idx[:s_total], casting="unsafe")
         values = np.zeros(s_total + self.capmax, dtype=blocked.dtype)
-        # initial values: scatter A3's entries into their slots
+        # initial values: scatter A3's entries into their slots (the
+        # slot of a key is its sorted position)
         acols = np.repeat(np.arange(n), np.diff(a3.colptr))
         arows = a3.rowidx
         akey = (blocked.tile_ids(arows // nb, acols // nb) * nn
                 + (arows % nb) * nb + (acols % nb))
         r = np.searchsorted(key, akey)
         assert (key[r] == akey).all(), "A entry outside fill pattern"
-        np.add.at(values, slots[r], a3.values)
+        np.add.at(values, r, a3.values)
         # padded diagonal tail = 1.0 (identity; matches blocks.py)
         tail = np.arange(n, bl * nb, dtype=np.int64)
         tail_slots = np.empty(0, dtype=np.int64)
         if len(tail):
             tkey = (blocked.tile_ids(tail // nb, tail // nb) * nn
                     + (tail % nb) * nb + (tail % nb))
-            tr = np.searchsorted(key, tkey)
-            tail_slots = slots[tr]
+            tail_slots = np.searchsorted(key, tkey)
             values[tail_slots] = 1.0
         # retained for the O(nnz) refactorization fast path (refill)
-        self._a_slots = slots[r]
+        self._a_slots = r
         self._tail_slots = tail_slots
 
         self.blocked = blocked

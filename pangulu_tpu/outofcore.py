@@ -166,6 +166,14 @@ class PanelLU:
 
     # -- panel pass --------------------------------------------------------
 
+    def _stage_slab(self) -> int:
+        """Tiles per gather/scatter slab: XLA staging temporaries run
+        ~slab * capmax * 16 B; bound them to ~2 GiB (capmax reaches
+        nb^2 when supernodes densify)."""
+        budget = 2 * 2 ** 30
+        return int(min(max(budget // max(self.store.capmax * 16, 1),
+                           256), 1 << 15))
+
     def _cross_ids(self, c0, c1):
         in_col = (self._cols >= c0) & (self._cols < c1)
         in_row = (self._rows >= c0) & (self._rows < c1)
@@ -225,14 +233,29 @@ class PanelLU:
         local_of[cross] = np.arange(len(cross))
         sub, (odst, olsel, ousel) = self._sub_schedule(c0, c1, local_of)
 
-        # 1. densify the cross (ids padded to a bucket so the gather
-        # jit-caches; pad tiles = scratch tile, cap 0 -> zero tiles)
-        ids_p = np.full(bucket(max(len(cross), 1)), st.num_tiles,
-                        dtype=np.int32)
+        # 1. densify the cross in SLABS: one monolithic gather
+        # materializes ~slab x capmax x 16 B of XLA temporaries (pos /
+        # mask / gathered values / scattered dense), which at dense-
+        # supernode capmax (nb^2) and a 32k-tile cross exceeds HBM —
+        # the slab bounds the staging working set to ~2 GiB.  Pad tiles
+        # = scratch tile, cap 0 -> zero tiles; padding to a multiple of
+        # the slab keeps the gather jit-cached on one shape.
+        slab = self._stage_slab()
+        npad = max(-(-max(len(cross), 1) // slab) * slab, slab)
+        ids_p = np.full(npad, st.num_tiles, dtype=np.int32)
         ids_p[: len(cross)] = cross
-        dense = _gather_dense(st.values, st.idx, st.off, st.cap,
-                              jnp.asarray(ids_p), nb=nb,
-                              capmax=st.capmax)
+        if npad <= slab:
+            dense = _gather_dense(st.values, st.idx, st.off, st.cap,
+                                  jnp.asarray(ids_p), nb=nb,
+                                  capmax=st.capmax)
+        else:
+            parts = [
+                _gather_dense(st.values, st.idx, st.off, st.cap,
+                              jnp.asarray(ids_p[s:s + slab]), nb=nb,
+                              capmax=st.capmax)[:-1]
+                for s in range(0, npad, slab)]
+            dense = jnp.concatenate(
+                parts + [jnp.zeros((1, nb, nb), st.values.dtype)])
         # compact view for the kernel: [bucket(len(cross))+1, nb, nb];
         # the kernel's scratch-tile convention = the LAST slot (pad
         # tiles in between are zero, gathered from zero-cap scratch)
@@ -292,10 +315,14 @@ class PanelLU:
                     nb=nb, capmax=st.capmax, nacc=nacc)
                 g = g_end
 
-        # 4. compress the factored cross back into the store
-        st.values = _scatter_dense(
-            st.values, st.idx, st.off, st.cap, jnp.asarray(ids_p),
-            dense, st.scratch_slot, nb=nb, capmax=st.capmax)
+        # 4. compress the factored cross back into the store (same
+        # slabbing as the gather: bounded staging temporaries)
+        for s in range(0, npad, slab):
+            st.values = _scatter_dense(
+                st.values, st.idx, st.off, st.cap,
+                jnp.asarray(ids_p[s:s + slab]),
+                jax.lax.dynamic_slice_in_dim(dense, s, slab),
+                st.scratch_slot, nb=nb, capmax=st.capmax)
 
     def factorize(self):
         bl = self.schedule.block_length

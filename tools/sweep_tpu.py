@@ -200,6 +200,25 @@ print(f"{'ooc panel compressed':22s} n={a.n:7d} dispatch={disp:10s} "
       flush=True)
 finalize(h)
 
+# out-of-core panel driver at nb=256 (the reference DEFAULT block
+# size, pangulu.c:52-56): u32 compressed slots + the nb=256 mega
+# kernel per panel cross (VERDICT r3 #7 done-when)
+a = poisson3d(16)
+h = init(a, InitOptions(nb=256, dtype="r32", ordering="rcm",
+                        symbolic_mode="scalar",
+                        tile_storage="compressed", refine=3))
+gstrf(h)
+disp = type(h._factorizer).__name__
+idx_dt = h._comp_store.idx.dtype if h._comp_store is not None else "?"
+b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
+x = gstrs(h, b)
+res = residual_norm(a.to_scipy(), x, b)
+print(f"{'ooc nb=256 u32':22s} n={a.n:7d} dispatch={disp:10s} "
+      f"idx={idx_dt} residual={res:.2e} "
+      f"{'OK' if res < 1e-4 and disp == 'PanelLU' else 'FAIL'}",
+      flush=True)
+finalize(h)
+
 # transpose solve on the chip (A^T x = b from the same factors)
 from pangulu_tpu.api import gstrs as _gstrs  # noqa: E402
 a = random_unsymmetric(1500, 0.004, seed=13)
