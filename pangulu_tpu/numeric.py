@@ -331,8 +331,11 @@ class LUFactorizer:
                 # emulated-f64 path is ~1000x slower)
                 import os
 
-                if (self.backend.name == "pallas"
-                        and self.blocked.nb in (128, 256)
+                # NOTE: no backend-name gate — the f64 dtype resolves
+                # to the jax backend in the registry (pallas registers
+                # f32 only); the dd kernels pick their Pallas paths
+                # internally, exactly like dispatch="dd" does
+                if (self.blocked.nb in (128, 256)
                         and os.environ.get("PANGULU_TPU_DD_MEGA")
                         != "0"):
                     # single-launch dd mega kernel: removes the XLA

@@ -202,6 +202,56 @@ def _lu_scan_step2(f, k, *, nb, tol):
     return f - lcol * urow - lcol2 * urow2
 
 
+def _lu_scan_step_act(f, k, *, r0, m, nb, tol):
+    """One rank-1 elimination step restricted to the ACTIVE row window
+    [r0, r0+m) of the tile — the same arithmetic as
+    :func:`_lu_scan_step` (rows above r0 are final at step k >= r0 and
+    receive exactly-zero updates there, so skipping them is bit-exact),
+    at window-proportional VPU cost.  The scan is THROUGHPUT-bound on
+    its full-tile mask/select/update passes (measured r4: 15.7 us/level
+    at nb=128 where the latency chain alone explains ~half), so
+    shrinking the rows each pass touches is the direct lever."""
+    dt = f.dtype
+    tol = np.dtype(dt).type(tol)
+    rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0) + r0
+    cols = lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    rows_f = lax.broadcasted_iota(jnp.int32, (m, nb), 0) + r0
+    cols_f = lax.broadcasted_iota(jnp.int32, (m, nb), 1)
+    rowv = jnp.sum(jnp.where(rows_f == k, f, jnp.zeros((), dt)),
+                   axis=0, keepdims=True)           # (1, nb)
+    colv = jnp.sum(jnp.where(cols_f == k, f, jnp.zeros((), dt)),
+                   axis=1, keepdims=True)           # (m, 1)
+    piv = jnp.sum(jnp.where(cols[0:1, :] == k, rowv,
+                            jnp.zeros((), dt)),
+                  axis=1, keepdims=True)            # (1, 1)
+    safe = jnp.where(jnp.abs(piv) < tol, jnp.asarray(tol, dt), piv)
+    lcol = jnp.where(rows > k, colv / safe, jnp.zeros((), dt))
+    urow = jnp.where(cols > k, rowv, jnp.zeros((), dt))
+    return f - lcol * urow
+
+
+def _lu_scan_sliced(a, *, nb, tol, nq=8):
+    """The full rank-1 LU scan in ``nq`` diminishing ROW-WINDOW phases:
+    phase p runs steps [p*q, (p+1)*q) on rows [p*q, nb) only — rows
+    above the window were finalized by earlier phases.  Bit-exact
+    against the plain scan; average VPU traffic drops to
+    (nq+1)/(2*nq) of full-tile (0.56x at nq=8)."""
+    q = nb // nq
+    done = []
+    act = a
+    for p in range(nq):
+        r0 = p * q
+        m = nb - r0
+        act = _fori_loop(
+            r0, r0 + q,
+            lambda k, x, r0=r0, m=m: _lu_scan_step_act(
+                x, k, r0=r0, m=m, nb=nb, tol=tol), act)
+        if p + 1 < nq:
+            done.append(lax.slice(act, (0, 0), (q, nb)))
+            act = lax.slice(act, (q, 0), (m, nb))
+    return lax.concatenate(done + [act], 0)
+
+
 def _lu_blocked(a, *, nb, tol, r=32):
     """Blocked right-looking LU of one VMEM-resident tile — the MXU
     analogue of the reference's dense blocked cusolver GETRF
@@ -282,7 +332,13 @@ def _lu_blocked(a, *, nb, tol, r=32):
         lts = jnp.where(upm, ct, zero)        # scaled L cols (rows>diag)
         f = f - lax.dot_general(lts, rbu, (((0,), (0,)), ((), ())),
                                 preferred_element_type=dt, precision=hi)
-        f = lax.dynamic_update_slice(f, rb, (k0, 0))
+        # row-block writeback: static-slice concat (Mosaic lowers
+        # neither dynamic_update_slice nor zero-size slices — k0 is a
+        # python int, so empty edge parts drop at trace time)
+        parts = ([lax.slice(f, (0, 0), (k0, nb))] if k0 else []) + [rb]
+        if k0 + r < nb:
+            parts.append(lax.slice(f, (k0 + r, 0), (nb, nb)))
+        f = lax.concatenate(parts, 0)
         # expand ct back to block columns (rows > col only: the scaled
         # L part; upper rows stayed final in f / came back with rb)
         cte = lax.dot_general(ct, sel, (((0,), (0,)), ((), ())),
@@ -420,6 +476,14 @@ def _lu_inverses(a, *, nb, tol, inv="newton"):
         f = _lu_blocked(a, nb=nb, tol=tol, r=r)
         linv, uinv = _newton_inverses(f, nb=nb, tol=tol)
         return f, linv, uinv
+    if inv.startswith("sliced"):
+        # diminishing row-window scan (bit-exact vs the plain scan),
+        # Newton inverses; suffix = phase count (sliced4/sliced8/...)
+        nq = int(inv[len("sliced"):] or 8)
+        f = _lu_scan_sliced(a, nb=nb, tol=tol, nq=nq)
+        f = _lu_finalize(f, nb=nb, tol=tol)
+        linv, uinv = _newton_inverses(f, nb=nb, tol=tol)
+        return f, linv, uinv
     if inv in ("newton", "newton2", "scanonly"):
         if inv == "newton2" and nb % 2 == 0:
             # rank-2 fused steps: measured a wash on v5e (rcm bench
@@ -511,9 +575,13 @@ def _inv_mode(inv):
     passed explicitly)."""
     if inv is None:
         import os
-        inv = os.environ.get("PANGULU_MEGA_INV", "newton")
+        # default: diminishing row-window scan + Newton inverses —
+        # bit-exact vs the plain scan, measured 11.63 -> 10.99 ms on
+        # the bench problem (r4, tools/exp_blocked_scan.py)
+        inv = os.environ.get("PANGULU_MEGA_INV", "sliced16")
     if inv not in ("scan", "newton", "newton2", "scanonly", "skip",
-                   "blocked", "blocked8", "blocked16", "blocked32"):
+                   "blocked", "blocked8", "blocked16", "blocked32",
+                   "sliced", "sliced4", "sliced8", "sliced16"):
         raise ValueError(f"unknown inverse mode {inv!r}")
     # "scanonly"/"skip" are DEBUG TIMING modes (tools/exp_mega_phases):
     # they return invalid inverses/factors and must never auto-dispatch

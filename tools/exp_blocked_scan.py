@@ -69,8 +69,12 @@ def main():
             nb=nb, tol=1e-8, bl=bl, pch=args["pch"], uch=args["uch"],
             inv=inv)
 
-    modes = ["newton", "blocked8", "blocked16", "blocked32",
-             "skip", "scanonly"]
+    import os
+
+    modes = (os.environ.get("MODES").split(",")
+             if os.environ.get("MODES") else
+             ["newton", "blocked8", "blocked16", "blocked32",
+              "sliced4", "sliced8", "sliced16", "skip", "scanonly"])
     results = {}
     for inv in modes:
         tiles = jnp.asarray(blocked.tiles)
@@ -86,12 +90,13 @@ def main():
         gf = flops / dt / 1e9
         print(f"inv={inv:10s} {dt * 1e3:7.2f} ms/fact  {gf:7.0f} GF "
               f"({dt / bl * 1e6:5.1f} us/level)", flush=True)
-    base = results["newton"]
-    best = min((m for m in modes if m.startswith("blocked")),
-               key=lambda m: results[m])
-    print(f"best blocked mode: {best} "
-          f"({results[best] * 1e3:.2f} ms vs newton {base * 1e3:.2f} ms, "
-          f"{(base - results[best]) / bl * 1e6:+.1f} us/level)")
+    timed = [m for m in modes if m not in ("skip", "scanonly")]
+    best = min(timed, key=lambda m: results[m])
+    base = results.get("newton")
+    if base is not None:
+        print(f"best mode: {best} ({results[best] * 1e3:.2f} ms vs "
+              f"newton {base * 1e3:.2f} ms, "
+              f"{(base - results[best]) / bl * 1e6:+.1f} us/level)")
 
 
 if __name__ == "__main__":
