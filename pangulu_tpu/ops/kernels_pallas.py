@@ -236,6 +236,12 @@ def _lu_scan_sliced(a, *, nb, tol, nq=8):
     above the window were finalized by earlier phases.  Bit-exact
     against the plain scan; average VPU traffic drops to
     (nq+1)/(2*nq) of full-tile (0.56x at nq=8)."""
+    # small tiles (nb < nq, e.g. nb=8 fixtures) must still run every
+    # elimination step: clamp to the largest divisor of nb <= nq
+    # (q = nb // nq = 0 would silently skip the whole scan)
+    nq = max(1, min(nq, nb))
+    while nb % nq:
+        nq -= 1
     q = nb // nq
     done = []
     act = a

@@ -24,6 +24,7 @@ still run through the mega kernel / MXU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,10 +47,8 @@ log = get_logger()
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "capmax"))
-def _gather_dense(values, idx, off, cap, ids, *, nb, capmax):
-    """Compressed slots of tiles ``ids`` -> dense [len(ids)+1, nb, nb]
-    (last tile = zero scratch)."""
+def _gather_core(values, idx, off, cap, ids, *, nb, capmax):
+    """Compressed slots of tiles ``ids`` -> dense [len(ids), nb, nb]."""
     nn = nb * nb
     ar = jnp.arange(capmax)
     pos = off[ids][:, None] + ar[None, :]
@@ -59,8 +58,28 @@ def _gather_dense(values, idx, off, cap, ids, *, nb, capmax):
     b = ids.shape[0]
     dense = jnp.zeros((b, nn + 1), values.dtype)
     dense = dense.at[jnp.arange(b)[:, None], ix].set(v)
+    return dense[:, :nn].reshape(b, nb, nb)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "capmax"))
+def _gather_dense(values, idx, off, cap, ids, *, nb, capmax):
+    """Compressed slots of tiles ``ids`` -> dense [len(ids)+1, nb, nb]
+    (last tile = zero scratch)."""
+    b = ids.shape[0]
     out = jnp.zeros((b + 1, nb, nb), values.dtype)
-    return out.at[:b].set(dense[:, :nn].reshape(b, nb, nb))
+    return out.at[:b].set(
+        _gather_core(values, idx, off, cap, ids, nb=nb, capmax=capmax))
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "capmax"),
+                   donate_argnums=(0,))
+def _gather_slab_into(dense, values, idx, off, cap, ids, s, *, nb, capmax):
+    """Gather one slab of tiles into rows [s, s+slab) of the
+    preallocated cross buffer IN PLACE (donated) — the previous
+    parts-list + concatenate staging kept a SECOND cross-sized
+    temporary alive, which is what pushed the >16 GB demo over HBM."""
+    part = _gather_core(values, idx, off, cap, ids, nb=nb, capmax=capmax)
+    return jax.lax.dynamic_update_slice_in_dim(dense, part, s, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "capmax"),
@@ -111,6 +130,23 @@ def _apply_out_updates(values, idx, off, cap, cross, l_sel, u_sel,
     return values.at[tgt].set(jnp.where(mask, cur - upd, 0))
 
 
+def _hbm_note() -> str:
+    """Best-effort device-memory annotation for panel progress lines
+    (not all backends expose memory_stats; the axon tunnel does)."""
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        used = ms.get("bytes_in_use")
+        peak = ms.get("peak_bytes_in_use")
+        if used is None:
+            return ""
+        note = f"; hbm {used / 2 ** 30:.2f} GiB"
+        if peak is not None:
+            note += f" (peak {peak / 2 ** 30:.2f})"
+        return note
+    except Exception:
+        return ""
+
+
 # ---------------------------------------------------------------------------
 # the panel driver
 # ---------------------------------------------------------------------------
@@ -142,7 +178,8 @@ class PanelLU:
                 self.store = CompressedTiles(blocked, a3)
         bl, nb = self.schedule.block_length, blocked.nb
         if panel_width is None:
-            budget = 2 * 2 ** 30
+            budget = int(float(os.environ.get(
+                "PANGULU_OOC_PANEL_GB", "2")) * 2 ** 30)
             per_col = (max(1, self.blocked.num_tiles // max(bl, 1))
                        * 2 * nb * nb
                        * np.dtype(blocked.dtype).itemsize)
@@ -170,7 +207,8 @@ class PanelLU:
         """Tiles per gather/scatter slab: XLA staging temporaries run
         ~slab * capmax * 16 B; bound them to ~2 GiB (capmax reaches
         nb^2 when supernodes densify)."""
-        budget = 2 * 2 ** 30
+        budget = int(float(os.environ.get(
+            "PANGULU_OOC_STAGE_GB", "2")) * 2 ** 30)
         return int(min(max(budget // max(self.store.capmax * 16, 1),
                            256), 1 << 15))
 
@@ -249,13 +287,12 @@ class PanelLU:
                                   jnp.asarray(ids_p), nb=nb,
                                   capmax=st.capmax)
         else:
-            parts = [
-                _gather_dense(st.values, st.idx, st.off, st.cap,
-                              jnp.asarray(ids_p[s:s + slab]), nb=nb,
-                              capmax=st.capmax)[:-1]
-                for s in range(0, npad, slab)]
-            dense = jnp.concatenate(
-                parts + [jnp.zeros((1, nb, nb), st.values.dtype)])
+            dense = jnp.zeros((npad + 1, nb, nb), st.values.dtype)
+            for s in range(0, npad, slab):
+                dense = _gather_slab_into(
+                    dense, st.values, st.idx, st.off, st.cap,
+                    jnp.asarray(ids_p[s:s + slab]), np.int32(s),
+                    nb=nb, capmax=st.capmax)
         # compact view for the kernel: [bucket(len(cross))+1, nb, nb];
         # the kernel's scratch-tile convention = the LAST slot (pad
         # tiles in between are zero, gathered from zero-cap scratch)
@@ -263,8 +300,6 @@ class PanelLU:
 
         # 2. mega factorize the cross sub-problem (chain-ahead off by
         # default — measured no overlap on v5e; opt in via env)
-        import os
-
         t = sub.mega_tables(
             scratch_local, uch=mega_uch(nb),
             superlevel=os.environ.get("PANGULU_TPU_SUPERLEVEL") == "1")
@@ -325,12 +360,18 @@ class PanelLU:
                 st.scratch_slot, nb=nb, capmax=st.capmax)
 
     def factorize(self):
+        import time as _time
+
         bl = self.schedule.block_length
         w = self.panel_width
         self._inv_parts = []
+        t0 = _time.perf_counter()
         with self.perf.phase("numeric"):
             for c0 in range(0, bl, w):
                 self._panel_pass(c0, min(c0 + w, bl))
+                log.info("panel %d/%d dispatched (%.1fs elapsed)%s",
+                         c0 // w + 1, -(-bl // w),
+                         _time.perf_counter() - t0, _hbm_note())
             self.store.values = device_sync(self.store.values)
         self.inv_tiles = (jnp.concatenate(self._inv_parts)
                           if len(self._inv_parts) > 1
