@@ -29,6 +29,19 @@ from pangulu_tpu.sparse import CscMatrix
 _REAL = (np.float32, np.float64)
 
 
+def _scale_csc(s: sp.csc_matrix, dr: np.ndarray,
+               dc: np.ndarray) -> sp.csc_matrix:
+    """Dr @ s @ Dc with the stored pattern PRESERVED.  ``sp.diags(...)
+    @ s`` prunes explicitly-stored zeros from the product, making the
+    reordered pattern value-dependent — update_values on a matrix whose
+    zero-structure changed (e.g. a complex embed gaining imaginary
+    parts) would then see a spurious pattern mismatch."""
+    s = sp.csc_matrix(s, copy=True)
+    s.data = (s.data * dr.astype(s.dtype)[s.indices]
+              * np.repeat(dc.astype(s.dtype), np.diff(s.indptr)))
+    return s
+
+
 @dataclasses.dataclass
 class Reordering:
     row_scale: np.ndarray   # Dr
@@ -52,8 +65,7 @@ class Reordering:
         fast path (api.update_values) — for a same-pattern matrix the
         result has the same pattern as :attr:`reordered`."""
         s = a.to_scipy()
-        a1 = sp.diags(self.row_scale.astype(s.dtype)) @ s \
-            @ sp.diags(self.col_scale.astype(s.dtype))
+        a1 = _scale_csc(s, self.row_scale, self.col_scale)
         a2 = sp.csc_matrix(a1)[:, self.colperm]
         a3 = sp.csc_matrix(a2)[self.perm][:, self.perm]
         a3.sort_indices()
@@ -104,7 +116,7 @@ def reorder(a: CscMatrix, *, mc64: bool = True,
     s = a.to_scipy()
     dr, dc, colperm = (match if match is not None
                        else mc64_scale_and_match(a, enable=mc64))
-    a1 = sp.diags(dr.astype(s.dtype)) @ s @ sp.diags(dc.astype(s.dtype))
+    a1 = _scale_csc(s, dr, dc)
     a2 = sp.csc_matrix(a1)[:, colperm]
     perm = fill_reducing_order(CscMatrix.from_scipy(a2), method=ordering,
                                nb=nb)

@@ -131,14 +131,26 @@ def complex_embed_matrix(a: CscMatrix) -> CscMatrix:
     Solving the embedded real system is mathematically equivalent to
     the complex solve — this is how cr32/cr64 ride the TPU's real-f32
     fast path (the MXU has no complex datapath)."""
-    s = a.to_scipy()
-    re = sp.csc_matrix((s.data.real, s.indices, s.indptr), shape=s.shape)
-    im = sp.csc_matrix((s.data.imag, s.indices, s.indptr), shape=s.shape)
+    s = a.to_scipy().tocoo()
     rdt = s.data.real.dtype
-    rot = np.array([[0.0, -1.0], [1.0, 0.0]], dtype=rdt)
-    eye2 = np.eye(2, dtype=rdt)
-    emb = sp.kron(re, eye2, format="csc") + sp.kron(im, rot, format="csc")
-    return CscMatrix.from_scipy(sp.csc_matrix(emb).astype(rdt))
+    re, im = s.data.real, s.data.imag
+    # Build all 4 real components per stored complex entry DIRECTLY
+    # (kron-based construction drops exact-zero components, making the
+    # embedded PATTERN value-dependent — a pure-real complex matrix
+    # would embed to half the entries, so a later update_values with
+    # nonzero imaginary parts would see a "structurally different"
+    # matrix).  Structural zeros are exact IEEE zeros by design
+    # invariant; keeping them stored keeps the pattern stable across
+    # value updates.
+    row2 = np.concatenate([2 * s.row, 2 * s.row + 1,
+                           2 * s.row, 2 * s.row + 1])
+    col2 = np.concatenate([2 * s.col, 2 * s.col,
+                           2 * s.col + 1, 2 * s.col + 1])
+    dat2 = np.concatenate([re, im, -im, re]).astype(rdt)
+    emb = sp.csc_matrix((dat2, (row2, col2)),
+                        shape=(2 * s.shape[0], 2 * s.shape[1]))
+    assert emb.nnz == 4 * s.nnz, "embed must keep explicit zeros"
+    return CscMatrix.from_scipy(emb)
 
 
 def complex_embed_rhs(b: np.ndarray) -> np.ndarray:

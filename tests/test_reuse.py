@@ -91,3 +91,32 @@ def test_refactorize_drops_stale_solver_state():
     b2 = s2 @ np.ones(a.n)
     x2 = gstrs(h, b2)
     assert residual_norm(s2, x2, b2) < 1e-10
+
+
+def test_update_values_complex_embed_zero_structure():
+    """A pure-real complex matrix whose update gains imaginary parts:
+    the embedded pattern must be value-INDEPENDENT (4 stored real
+    components per complex entry, explicit zeros kept through the
+    scaling/permutation chain), so update_values accepts it.
+    Regression: kron-based embedding + sp.diags matmul both pruned
+    stored zeros, raising a spurious pattern mismatch (found by the
+    r4 cr64 soak)."""
+    a = random_unsymmetric(120, 0.05, seed=5, dtype=np.complex128)
+    s = a.to_scipy().tocsc()
+    s.data = s.data.real.astype(np.complex128)  # imag exactly zero
+    from pangulu_tpu.sparse import CscMatrix, complex_embed_matrix
+
+    ac = CscMatrix.from_scipy(s)
+    assert complex_embed_matrix(ac).nnz == 4 * s.nnz
+    h = init(ac, InitOptions(nb=16, dtype="cr64", complex_mode="embed"))
+    gstrf(h)
+    rng = np.random.default_rng(11)
+    s2 = s.copy()
+    s2.data = s2.data * (1.0 + 0.01 * rng.standard_normal(s.nnz)
+                         + 0.01j * rng.standard_normal(s.nnz))
+    update_values(h, s2)  # must NOT raise despite new imag structure
+    gstrf(h)
+    xref = rng.standard_normal(ac.n) + 1j * rng.standard_normal(ac.n)
+    b2 = s2 @ xref
+    x2 = gstrs(h, b2)
+    assert residual_norm(s2, x2, b2) < 1e-10

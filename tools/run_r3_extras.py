@@ -47,7 +47,7 @@ def main():
     x = gstrs(h, b)
     t_s = time.perf_counter() - t0
     res = residual_norm(a.to_scipy(), x, b)
-    ok = res < 1e-10 and disp in ("dd", "dd_group")
+    ok = res < 1e-10 and disp in ("dd", "dd_group", "dd_mega")
     print(f"dd r64 n={a.n} dispatch={disp} init {t_init:.1f}s "
           f"gstrf {t_f:.1f}s (incl compile) gstrs {t_s:.1f}s "
           f"residual {res:.3e} {'OK' if ok else 'FAIL'}", flush=True)
