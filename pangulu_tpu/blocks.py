@@ -151,12 +151,17 @@ def tile_matrix(a: CscMatrix, symb: SymbolicResult) -> BlockedMatrix:
     if lookup is not None:
         tid = lookup[bi, bj]
     else:
-        tid = np.empty(len(bi), dtype=np.int64)
-        # group by column block for binary search
-        for t in range(len(bi)):
-            lo, hi = bcolptr[bj[t]], bcolptr[bj[t] + 1]
-            pos = np.searchsorted(browidx[lo:hi], bi[t])
-            tid[t] = lo + pos
+        # Batched searchsorted against the sorted (col*bl + row) keys —
+        # same scheme as BlockedMatrix.tile_ids.  The previous
+        # per-element Python loop here ran on EVERY tile_matrix at
+        # ooc-demo scale (bl=6912, ~6M nnz) and could silently
+        # mis-scatter out-of-pattern entries (searchsorted position
+        # without the equality check never yields -1).
+        keys = cols.astype(np.int64) * bl + browidx
+        q = bj.astype(np.int64) * bl + bi.astype(np.int64)
+        r = np.searchsorted(keys, q)
+        r_c = np.minimum(r, len(keys) - 1)
+        tid = np.where(keys[r_c] == q, r_c, -1)
     if np.any(tid < 0):
         raise AssertionError("A entry outside symbolic pattern")
     tid = tid.astype(np.int32)

@@ -108,18 +108,27 @@ def add_diagonal_elements(a: CscMatrix, fill_value=1e-8) -> CscMatrix:
     # reference only adds *structurally* missing diagonals.  One O(nnz)
     # vectorized pass (a per-column membership scan is O(n*col) worst
     # case on circuit-class matrices at n~1e6).
-    s = a.to_scipy()
     cols = np.repeat(np.arange(a.n), np.diff(a.colptr))
     has_struct = np.zeros(a.n, dtype=bool)
     has_struct[cols[a.rowidx == cols]] = True
     need = np.flatnonzero(~has_struct)
     if len(need) == 0:
         return a
-    d = sp.csc_matrix(
-        (np.full(len(need), fill_value, dtype=a.values.dtype), (need, need)),
-        shape=(a.n, a.n),
-    )
-    return CscMatrix.from_scipy(s + d)
+    # Insert via COO concatenation, NOT scipy 's + d': sparse addition
+    # prunes ALL explicit zeros from the result, which would undo the
+    # value-independent pattern complex_embed_matrix relies on (a
+    # pure-real complex matrix would lose its stored-zero imaginary
+    # components here and a later update_values gaining imaginary parts
+    # would hit a spurious same-pattern rejection).  The COO->CSC
+    # constructor keeps explicit zeros (it only sums duplicates, and
+    # `need` is disjoint from the stored pattern by construction).
+    coo = a.to_scipy().tocoo()
+    rows2 = np.concatenate([coo.row, need])
+    cols2 = np.concatenate([coo.col, need])
+    data2 = np.concatenate(
+        [coo.data, np.full(len(need), fill_value, dtype=a.values.dtype)])
+    return CscMatrix.from_scipy(
+        sp.csc_matrix((data2, (rows2, cols2)), shape=(a.n, a.n)))
 
 
 def complex_embed_matrix(a: CscMatrix) -> CscMatrix:
@@ -149,7 +158,16 @@ def complex_embed_matrix(a: CscMatrix) -> CscMatrix:
     dat2 = np.concatenate([re, im, -im, re]).astype(rdt)
     emb = sp.csc_matrix((dat2, (row2, col2)),
                         shape=(2 * s.shape[0], 2 * s.shape[1]))
-    assert emb.nnz == 4 * s.nnz, "embed must keep explicit zeros"
+    if emb.nnz != 4 * s.nnz:
+        # survives `python -O` (a bare assert would not) and gives an
+        # actionable message: the COO->CSC constructor sums duplicates,
+        # so a CscMatrix carrying duplicate (row, col) entries shrinks
+        # here instead of embedding 4 components per stored entry.
+        raise ValueError(
+            "complex embed changed the stored-entry count "
+            f"({emb.nnz} != 4*{s.nnz}); the input matrix likely carries "
+            "duplicate (row, col) entries — canonicalize it first "
+            "(e.g. sum_duplicates on the scipy matrix)")
     return CscMatrix.from_scipy(emb)
 
 

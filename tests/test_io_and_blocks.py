@@ -40,6 +40,51 @@ def test_add_diagonal_elements():
     assert out2.nnz == 4
 
 
+def test_add_diagonal_keeps_explicit_zeros():
+    """Inserting missing diagonals must NOT prune explicit stored
+    zeros elsewhere (advisor r4: scipy 's + d' pruned the complex
+    embed's exact-zero components whenever the need-branch ran)."""
+    rows = np.array([0, 1, 2, 0])
+    cols = np.array([0, 0, 1, 2])
+    vals = np.array([1.0, 0.0, 3.0, 0.0])  # two explicit zeros
+    a = CscMatrix.from_scipy(
+        sp.csc_matrix((vals, (rows, cols)), shape=(3, 3)))
+    assert a.nnz == 4
+    out = add_diagonal_elements(a)  # cols 1 and 2 lack diagonals
+    assert out.nnz == 6
+    s = out.to_scipy()
+    assert s[1, 1] == 1e-8 and s[2, 2] == 1e-8
+    assert s[1, 0] == 0.0 and (s.indptr[1] - s.indptr[0]) == 2
+
+
+def test_tile_matrix_fallback_above_dense_lookup():
+    """tile_matrix at bl > _DENSE_LOOKUP_MAX_BL must use the batched
+    searchsorted path and still scatter correctly (the old per-element
+    Python loop was O(nnz) interpreter work and never yielded -1)."""
+    import pangulu_tpu.blocks as blocks_mod
+
+    a = poisson2d(12)
+    ro = reorder(a, ordering="natural", mc64=False)
+    symb = symbolic(ro.reordered, 8)
+    ref = tile_matrix(ro.reordered, symb)
+    old = blocks_mod._DENSE_LOOKUP_MAX_BL
+    blocks_mod._DENSE_LOOKUP_MAX_BL = 0  # force the fallback
+    try:
+        blocked = tile_matrix(ro.reordered, symb)
+    finally:
+        blocks_mod._DENSE_LOOKUP_MAX_BL = old
+    assert blocked._lookup is None
+    np.testing.assert_array_equal(blocked.scatter_plan[0],
+                                  ref.scatter_plan[0])
+    # vectorized tile_ids agrees too, including out-of-pattern -> -1
+    bi = np.array([0, blocked.block_length - 1, 0])
+    bj = np.array([0, 0, blocked.block_length - 1])
+    got = blocked.tile_ids(bi, bj)
+    want = np.array([blocked.tile_id(int(i), int(j))
+                     for i, j in zip(bi, bj)])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_tile_roundtrip():
     a = poisson2d(6)
     ro = reorder(a, ordering="natural", mc64=False)

@@ -93,6 +93,38 @@ def test_refactorize_drops_stale_solver_state():
     assert residual_norm(s2, x2, b2) < 1e-10
 
 
+def test_update_values_complex_embed_missing_diagonal():
+    """Same invariant when the input is structurally MISSING diagonal
+    entries: add_diagonal_elements must insert them pattern-
+    preservingly (scipy 's + d' addition pruned the embed's explicit
+    zeros again — advisor r4)."""
+    a = random_unsymmetric(100, 0.05, seed=9, dtype=np.complex128)
+    s = a.to_scipy().tolil()
+    for i in (3, 41, 77):
+        s[i, i] = 0.0  # lil drops explicit zeros -> structurally absent
+    s = s.tocsc()
+    s.eliminate_zeros()
+    s.data = s.data.real.astype(np.complex128)  # imag exactly zero
+    from pangulu_tpu.sparse import CscMatrix
+
+    diag = s.diagonal()
+    assert np.any(diag[np.array([3, 41, 77])] == 0)
+    ac = CscMatrix.from_scipy(s)
+    h = init(ac, InitOptions(nb=16, dtype="cr64", complex_mode="embed"))
+    gstrf(h)
+    rng = np.random.default_rng(13)
+    s2 = s.copy()
+    s2.data = s2.data * (1.0 + 0.01 * rng.standard_normal(s.nnz)
+                         + 0.01j * rng.standard_normal(s.nnz))
+    update_values(h, s2)  # must NOT raise despite new imag structure
+    gstrf(h)
+    xref = rng.standard_normal(ac.n) + 1j * rng.standard_normal(ac.n)
+    b2 = s2 @ xref
+    x2 = gstrs(h, b2)
+    # zeroed diagonals worsen conditioning; 1e-8 still proves the solve
+    assert residual_norm(s2, x2, b2) < 1e-8
+
+
 def test_update_values_complex_embed_zero_structure():
     """A pure-real complex matrix whose update gains imaginary parts:
     the embedded pattern must be value-INDEPENDENT (4 stored real
