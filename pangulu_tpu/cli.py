@@ -15,7 +15,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="pangulu_tpu",
                                  description=__doc__)
     ap.add_argument("-f", "--file", default=None,
-                    help=".mtx matrix file (required unless --load-factor)")
+                    help=".mtx / .lid (binary CSR) / .npz matrix file "
+                         "(required unless --load-factor)")
     ap.add_argument("-nb", type=int, default=128, help="block size")
     ap.add_argument("-r", "--rhs", default=None,
                     help="rhs file (default: b = A @ ones)")

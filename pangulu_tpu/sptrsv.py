@@ -26,7 +26,10 @@ from pangulu_tpu.blocks import BlockedMatrix
 from pangulu_tpu.ops.interface import KernelBackend, get_backend
 from pangulu_tpu.schedule import Schedule, bucket, pad_ids
 from pangulu_tpu.utils import device_sync
+from pangulu_tpu.utils.log import get_logger
 from pangulu_tpu.utils.perf import PerfCounters
+
+log = get_logger()
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4), donate_argnums=(2,))
@@ -316,6 +319,31 @@ class TriangularSolver:
             self.inv_tiles = _compute(jnp.asarray(tiles))
         return self.inv_tiles
 
+    def _log_engine(self, engine: str, why: str = "") -> None:
+        """One log line per distinct solve-engine choice — the solve
+        analogue of the factorizer's dispatch log (numeric.py:369): a
+        silent ~5x fallback (e.g. dtype!=f32 on chip) is the same perf
+        mystery class."""
+        msg = f"{engine} ({why})" if why else engine
+        seen = getattr(self, "_logged_engines", None)
+        if seen is None:
+            seen = self._logged_engines = set()
+        if msg not in seen:
+            seen.add(msg)
+            log.info("solve engine: %s", msg)
+
+    def _mega_fallback_reason(self) -> str:
+        if jax.default_backend() != "tpu":
+            return "not on a TPU backend"
+        if self.backend.name != "pallas":
+            return f"backend={self.backend.name} (not pallas)"
+        why = []
+        if jnp.dtype(self.blocked.dtype) != jnp.float32:
+            why.append(f"dtype={jnp.dtype(self.blocked.dtype).name}!=f32")
+        if self.schedule.nb not in (128, 256):
+            why.append(f"nb={self.schedule.nb} not in (128, 256)")
+        return "mega ineligible: " + ", ".join(why) if why else ""
+
     def _mega_eligible(self, nrhs: int) -> bool:
         import jax as _jax
 
@@ -323,9 +351,12 @@ class TriangularSolver:
             return False
         if _jax.default_backend() != "tpu":
             return False
-        # panels of any width stream in bounded-VMEM chunks
+        # panels of any width stream in bounded-VMEM chunks; nb=256 is
+        # the reference default (pangulu.c:52-56) and fits the solve
+        # kernels' VMEM budget (tbuf 2*pchunk*nb^2*4B <= 16 MiB under
+        # the raised 100 MiB cap)
         return (jnp.dtype(self.blocked.dtype) == jnp.float32
-                and self.schedule.nb == 128
+                and self.schedule.nb in (128, 256)
                 and self._mega_nrhs_max() >= 1)
 
     def _mega_nrhs_max(self) -> int:
@@ -379,6 +410,8 @@ class TriangularSolver:
         if self._solve_group_worthwhile():
             from pangulu_tpu.ops.kernels_pallas import mega_solve_groups
 
+            self._log_engine("mega_groups",
+                             "single-launch Pallas, super-level groups")
             if self._mega_group_tables is None:
                 t = self.schedule.group_solve_tables(
                     self.blocked.num_tiles)
@@ -395,6 +428,7 @@ class TriangularSolver:
             out = np.asarray(x)[:, :bl].reshape(
                 nrhs, bl * nb)[:, : self.blocked.n].T
             return out[:, 0] if squeeze else out
+        self._log_engine("mega", "single-launch Pallas")
         if self._mega_tables is None:
             t = self.schedule.mega_solve_tables(self.blocked.num_tiles)
             npan = max(bucket(max(int(t["nl_tab"].max(initial=0)),
@@ -449,7 +483,7 @@ class TriangularSolver:
 
         use_mega = (self.backend.name == "pallas"
                     and _jax.default_backend() == "tpu"
-                    and self.schedule.nb == 128)
+                    and self.schedule.nb in (128, 256))
         gtabs = ggeo = None
         if use_mega and self._solve_group_worthwhile():
             gt = self.schedule.group_solve_tables(self.blocked.num_tiles)
@@ -481,6 +515,11 @@ class TriangularSolver:
         if self.dd_solve_method == "ir":
             (a_th, a_tl, row_ids, row_cols, fused, mega, npan,
              use_mega, gtabs, ggeo) = self._ensure_dd_ir_state()
+            self._log_engine(
+                "dd_ir",
+                "mixed-precision refinement, corrections via "
+                + ("Pallas mega" + ("_groups" if ggeo else "")
+                   if use_mega else "XLA inverse solve"))
             l_ids, l_rows, uc_ids, uc_rows = fused
             with self.perf.phase("sptrsv"):
                 oh, ol = _dd_ir_solve(
@@ -493,6 +532,7 @@ class TriangularSolver:
                     iters=self.dd_ir_iters, use_mega=use_mega,
                     ggeo=ggeo)
         else:
+            self._log_engine("dd_fused", "all-dd matmul-only solve")
             _, l_ids, l_rows, uc_ids, uc_rows = (
                 jnp.asarray(t) for t in self.schedule.fused_solve_tables(
                     self.blocked.num_tiles, bl))
@@ -573,6 +613,9 @@ class TriangularSolver:
             invs = self._ensure_inverses(tiles)
             xt = jnp.transpose(xb, (2, 0, 1))      # [nrhs, bl+1, nb]
             if self._solve_group_worthwhile():
+                self._log_engine(
+                    "mega_groups",
+                    "single-launch Pallas, super-level groups")
                 if self._mega_group_tables is None:
                     t = self.schedule.group_solve_tables(
                         self.blocked.num_tiles)
@@ -586,6 +629,7 @@ class TriangularSolver:
                     t["kseg_tab"], t["ltab"], t["uctab"],
                     nb=nb, bl=bl, ngr=ngr, gmax=gmax, npan=row_w)
                 return jnp.transpose(xt, (1, 2, 0))
+            self._log_engine("mega", "single-launch Pallas")
             if self._mega_tables is None:
                 t = self.schedule.mega_solve_tables(self.blocked.num_tiles)
                 npan = max(bucket(max(int(t["nl_tab"].max(initial=0)),
@@ -598,6 +642,7 @@ class TriangularSolver:
                             t["lid_tab"], t["lrow_tab"], t["ucid_tab"],
                             t["ucrow_tab"], nb=nb, bl=bl, npan=npan)
             return jnp.transpose(xt, (1, 2, 0))
+        self._log_engine("fused", self._mega_fallback_reason())
         tiles = jnp.asarray(tiles)
         with jax.default_matmul_precision(self.precision):
             return _fused_solve(self.backend, tiles, xb,
@@ -614,6 +659,7 @@ class TriangularSolver:
         nrhs = 1 if squeeze else np.asarray(b).shape[1]
         if self._mega_eligible(nrhs):
             return self._solve_mega(tiles, b)
+        self._log_engine(self.dispatch, self._mega_fallback_reason())
         x = self.blockify_rhs(b)
         if self.dispatch == "fused":
             tiles = device_sync(jnp.asarray(tiles))

@@ -161,14 +161,21 @@ def test_dist_refactorize_cycle():
     s = a.to_scipy()
     h = init(a, InitOptions(nb=16, dtype="r64", mesh_shape=(2, 2)))
     rng = np.random.default_rng(5)
+    dist_first = None
     for it in range(3):
         gstrf(h)
+        if dist_first is None:
+            dist_first = h._dist
         b = np.asarray(s @ np.ones(a.n))
         x = gstrs(h, b)
         assert residual_norm(s, x, b) < 1e-10, f"cycle {it}"
         s = s.copy()
         s.data = s.data * (1.0 + 0.02 * rng.standard_normal(s.nnz))
         update_values(h, s)
+    # refactorizations REUSE the executor (segment tables + compiled
+    # steps are value-independent): same object, counted per reuse
+    assert h._dist is dist_first
+    assert h.perf.kernels.get("dist_reuse", 0) == 2
 
 
 def test_dist_complex_embedding():

@@ -164,6 +164,63 @@ def test_rhs_length_mismatch(tmp_path):
         read_rhs(p, 7, np.float64)
 
 
+def test_lid_roundtrip(tmp_path):
+    """Binary .lid CSR format (reference: examples/example.c:100-164):
+    u32 m,n + u64 nnz header, u64 rowptr, u32 colidx (0-based), raw
+    values."""
+    from pangulu_tpu.io.mmio import read_matrix, write_matrix
+
+    a = poisson2d(9)
+    p = tmp_path / "m.lid"
+    write_matrix(p, a)
+    b = read_matrix(p)
+    assert (a.to_scipy() != b.to_scipy()).nnz == 0
+    assert b.values.dtype == np.float64
+
+    # f32 values round-trip via the inferred 4-byte width
+    a32 = CscMatrix.from_scipy(a.to_scipy().astype(np.float32))
+    p32 = tmp_path / "m32.lid"
+    write_matrix(p32, a32)
+    b32 = read_matrix(p32)
+    assert b32.values.dtype == np.float32
+    assert (a32.to_scipy() != b32.to_scipy()).nnz == 0
+
+    # header/layout is byte-exact vs a hand-built file
+    s = a.to_scipy().tocsr()
+    raw = (np.asarray(s.shape, np.uint32).tobytes()
+           + np.asarray([s.nnz], np.uint64).tobytes()
+           + s.indptr.astype(np.uint64).tobytes()
+           + s.indices.astype(np.uint32).tobytes()
+           + s.data.tobytes())
+    assert raw == p.read_bytes()
+
+    # truncated file -> clean error
+    (tmp_path / "bad.lid").write_bytes(raw[:10])
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated"):
+        read_matrix(tmp_path / "bad.lid")
+
+
+def test_cli_solves_lid_same_as_mtx(tmp_path, capsys):
+    """The CLI must solve a .lid matrix with the same residual as its
+    .mtx twin (reference example ingests both, example.c:100-164)."""
+    from pangulu_tpu.cli import main
+
+    a = poisson2d(8)
+    write_matrix(tmp_path / "m.mtx", a)
+    write_matrix(tmp_path / "m.lid", a)
+    res = {}
+    for ext in ("mtx", "lid"):
+        rc = main(["-f", str(tmp_path / f"m.{ext}"), "-nb", "16",
+                   "--dtype", "r64", "--platform", "cpu"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        line = [l for l in out.splitlines() if "solve residual" in l][0]
+        res[ext] = float(line.split("=")[1])
+    assert res["lid"] < 1e-12 and res["mtx"] < 1e-12
+
+
 def test_read_mtx_gz(tmp_path):
     import gzip
     import shutil
