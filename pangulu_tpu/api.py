@@ -374,6 +374,24 @@ def gstrf(handle: Handle) -> None:
         log.info("profiler trace written to %s", handle.opts.profile_dir)
     log.info(handle.perf.summary())
     if handle.opts.check:
+        if (handle._dist is not None and handle._dist.single is None
+                and getattr(handle._dist, "dd", False)):
+            # dd mesh factors: the on-mesh check reduction is f32-only;
+            # use the gathered host check when shards are addressable
+            if not isinstance(handle.factor_tiles, tuple):
+                lmat, umat = gather_factor(
+                    handle.blocked, np.asarray(handle.factor_tiles))
+                from pangulu_tpu.utils.perf import factorization_residual
+
+                res = factorization_residual(
+                    handle.reordering.reordered.to_scipy(), lmat, umat)
+                log.info("gstrf check ||L(U*1)-A*1||/||A*1|| = %.3e",
+                         res)
+                handle.perf.kernels["gstrf_residual"] = res
+            else:
+                log.warning("gstrf check skipped: dd mesh factors on a "
+                            "multi-host (non-addressable) mesh")
+            return
         if handle._dist is not None and handle._dist.single is None:
             # DISTRIBUTED check: w = L(U*1) via on-mesh psums (works
             # sharded across hosts, no global gather — the reference's
@@ -474,7 +492,8 @@ def gstrs(handle: Handle, b: np.ndarray, refine: int | None = None,
 
             handle._trisolver = DistributedTriangularSolver(
                 handle.blocked, handle.schedule, handle._dist.layout,
-                handle._dist.mesh, backend=backend, perf=handle.perf)
+                handle._dist.mesh, backend=backend, perf=handle.perf,
+                inv_dd=handle._dist.inv_dd)
         elif handle._dist is not None:
             # 1x1 mesh delegated to the single-chip engine: solve with
             # the single-chip solver too (Pallas mega_solve on TPU,

@@ -143,7 +143,7 @@ class DistributedLU:
     def __init__(self, blocked: BlockedMatrix, schedule: Schedule | None,
                  mesh_shape, backend: KernelBackend | None = None,
                  perf: PerfCounters | None = None, mesh: Mesh | None = None,
-                 force_collective: bool = False):
+                 force_collective: bool = False, dd: bool | None = None):
         self.blocked = blocked
         self.schedule = schedule or build_schedule(blocked)
         self.backend = backend or get_backend(
@@ -157,6 +157,24 @@ class DistributedLU:
         self.p, self.q = mesh.devices.shape
         self.layout = build_layout(blocked, self.p, self.q)
         self.single = None
+        # r64/cr64-embed on TPU meshes: the DOUBLE-FLOAT collective
+        # engine (hi/lo f32 pairs, ops.dd) — emulated f64 on TPU is
+        # ~1000x slower than f32, so the reference's DEFAULT value type
+        # R64 (pangulu_common.h:11-33) would be unusable multi-chip
+        # without it.  nb <= 256 bounds dd_matmul's exact-slice
+        # accumulation (2*WBITS + log2(K) <= 24).  Override via
+        # PANGULU_TPU_DIST_DD=0/1 (tests force it on CPU meshes).
+        import os
+
+        if dd is None:
+            dd = (np.dtype(blocked.dtype) == np.float64
+                  and jax.default_backend() == "tpu"
+                  and blocked.nb <= 256)
+        env = os.environ.get("PANGULU_TPU_DIST_DD")
+        if env is not None:
+            dd = env == "1"
+        self.dd = bool(dd) and np.dtype(blocked.dtype) == np.float64
+        self.inv_dd = None           # replicated [bl+1,2,nb,nb] hi/lo
         if self.p * self.q == 1 and not force_collective:
             from pangulu_tpu.numeric import LUFactorizer
 
@@ -165,8 +183,15 @@ class DistributedLU:
                                        perf=self.perf)
             self._segments = None
         else:
+            if self.dd:
+                from pangulu_tpu.utils.log import get_logger
+
+                get_logger().info(
+                    "engine: dist-dd (f64 mesh -> double-float f32 "
+                    "collective engine, member-wave exact updates)")
+            get_step = self._get_step_dd if self.dd else self._get_step
             self._segments = [
-                (kmat, mems, self._put_tables(tables), self._get_step(
+                (kmat, mems, self._put_tables(tables), get_step(
                     (kmat.shape[0],) + sig))
                 for kmat, mems, sig, tables in self._prepare_levels()]
 
@@ -390,15 +415,26 @@ class DistributedLU:
             upd_l = np.zeros((p, q, seg, NUP), dtype=np.int32)
             upd_u = np.zeros((p, q, seg, NUP), dtype=np.int32)
             upd_mask = np.zeros((p, q, seg, NUP), dtype=bool)
+            # wave = source-level MEMBER index: within one level, update
+            # destinations are unique (design invariant, asserted in
+            # tests/test_io_and_blocks.py), so applying the group's
+            # updates one member-wave at a time makes each wave's
+            # scatter collision-free — what the dd engine needs for
+            # exact gather/dd_sub/set accumulation (f32 scatter-ADD
+            # would drop the dd low words)
+            upd_wave = np.zeros((p, q, seg, NUP), dtype=np.int32)
             upd_dst[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = slot[u_dst[m]]
             upd_l[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = u_lg[m]
             upd_u[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = u_ug[m]
             upd_mask[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = ~crit[m]
+            upd_wave[u_r[m], u_c[m], u_grp[m] - s0, pos[m]] = \
+                lev_mem[u_lev[m]]
 
             crit_dst = np.full((p, q, seg, NCRIT), scratch, dtype=np.int32)
             crit_l = np.zeros((p, q, seg, NCRIT), dtype=np.int32)
             crit_u = np.zeros((p, q, seg, NCRIT), dtype=np.int32)
             crit_mask = np.zeros((p, q, seg, NCRIT), dtype=bool)
+            crit_wave = np.zeros((p, q, seg, NCRIT), dtype=np.int32)
             if crit.any():
                 crit_dst[u_r[crit], u_c[crit], u_grp[crit] - s0,
                          cpos] = slot[u_dst[crit]]
@@ -408,14 +444,17 @@ class DistributedLU:
                        cpos] = u_ug[crit]
                 crit_mask[u_r[crit], u_c[crit], u_grp[crit] - s0,
                           cpos] = True
+                crit_wave[u_r[crit], u_c[crit], u_grp[crit] - s0,
+                          cpos] = lev_mem[u_lev[crit]]
 
             out.append((kmat, (l_mem, u_mem),
                         (G, NL, NU, NUP, NCRIT), dict(
                 diag_slot=diag_slot, l_slot=l_slot, l_mask=l_mask,
                 u_slot=u_slot, u_mask=u_mask, upd_dst=upd_dst,
                 upd_l=upd_l, upd_u=upd_u, upd_mask=upd_mask,
+                upd_wave=upd_wave,
                 crit_dst=crit_dst, crit_l=crit_l, crit_u=crit_u,
-                crit_mask=crit_mask)))
+                crit_mask=crit_mask, crit_wave=crit_wave)))
         return out
 
     # ---- device step ----------------------------------------------------
@@ -546,6 +585,167 @@ class DistributedLU:
         cache[shape_key] = step
         return step
 
+    def _get_step_dd(self, shape_key):
+        """Jitted per-segment step in DOUBLE-FLOAT arithmetic — the
+        multi-chip r64/cr64-embed engine (the reference's default value
+        type is R64, pangulu_common.h:11-14, and its fastest kernels
+        run inside the distributed engine, pangulu_numeric.c:932-1012;
+        the TPU equivalent keeps every flop on the f32 MXU/VPU as
+        exact-sliced dd ops).  Structure mirrors :meth:`_get_step` with
+        three dd-specific changes:
+
+        * tiles are (hi, lo) f32 pairs; the diag/panel psums move BOTH
+          planes stacked as one array — one collective per direction,
+          and every psum here has exactly ONE nonzero contributor per
+          element (owner-masked), so the f32 psum is EXACT;
+        * the group diag step is a vmapped :func:`ops.dd.dd_lu_inverses`
+          (Pallas dd scan on TPU, XLA elsewhere) whose triangle
+          inverses are also persisted REPLICATED — every device
+          computes them redundantly from the psum'd diag, so the store
+          is identical everywhere and the distributed dd solve reads it
+          with no extra collective;
+        * Schur updates apply in MEMBER WAVES (gather -> dd_sub -> set;
+          within one level destinations are unique, so each wave is
+          collision-free) — f32 scatter-ADD would renormalize away the
+          dd low words.
+        """
+        cache = getattr(self, "_step_dd_cache", None)
+        if cache is None:
+            cache = self._step_dd_cache = {}
+        if shape_key in cache:
+            return cache[shape_key]
+        from pangulu_tpu.ops import dd as D
+        from pangulu_tpu.ops.kernels_jax import DEFAULT_TOL
+
+        p, q = self.p, self.q
+        mesh = self.mesh
+        seg_len, G = shape_key[0], shape_key[1]
+        nb = self.blocked.nb
+        bl = self.schedule.block_length
+        tol = (self.backend.tol if self.backend.tol is not None
+               else float(DEFAULT_TOL[jnp.dtype(np.float64)]))
+        scratch = self.layout.lmax - 1
+
+        def run(th, tl, invh, invl, kmat, l_mem, u_mem,
+                diag_slot, l_slot, l_mask, u_slot, u_mask,
+                upd_dst, upd_l, upd_u, upd_mask, upd_wave,
+                crit_dst, crit_l, crit_u, crit_mask, crit_wave):
+            th, tl = th[0, 0], tl[0, 0]
+            diag_slot = diag_slot[0, 0]
+            l_slot, l_mask = l_slot[0, 0], l_mask[0, 0]
+            u_slot, u_mask = u_slot[0, 0], u_mask[0, 0]
+            upd_dst, upd_l = upd_dst[0, 0], upd_l[0, 0]
+            upd_u, upd_mask = upd_u[0, 0], upd_mask[0, 0]
+            upd_wave = upd_wave[0, 0]
+            crit_dst, crit_l = crit_dst[0, 0], crit_l[0, 0]
+            crit_u, crit_mask = crit_u[0, 0], crit_mask[0, 0]
+            crit_wave = crit_wave[0, 0]
+            my_r = jax.lax.axis_index("gp")
+            my_c = jax.lax.axis_index("gq")
+            z = jnp.zeros((), jnp.float32)
+
+            def owner_mask(i):
+                kg = kmat[i]
+                return ((my_r == kg % p) & (my_c == kg % q)
+                        & (kg >= 0))[:, None, None]
+
+            def diag_psum(i, th, tl):
+                m = owner_mask(i)
+                c = jnp.stack([jnp.where(m, th[diag_slot[i]], z),
+                               jnp.where(m, tl[diag_slot[i]], z)])
+                return jax.lax.psum(c, ("gp", "gq"))
+
+            def wave_apply(th, tl, dst, mask, wave, ph, pl):
+                # one member per wave: within a wave, real destinations
+                # are unique (per-level dst-uniqueness invariant);
+                # unselected entries redirect to the scratch slot,
+                # which both reads and writes exact zeros
+                def w_body(w, tt):
+                    th, tl = tt
+                    sel = mask & (wave == w)
+                    d = jnp.where(sel, dst, scratch)
+                    s3 = sel[:, None, None]
+                    nh, nl = D.dd_sub(th[d], tl[d],
+                                      jnp.where(s3, ph, z),
+                                      jnp.where(s3, pl, z))
+                    return th.at[d].set(nh), tl.at[d].set(nl)
+
+                return jax.lax.fori_loop(0, G, w_body, (th, tl))
+
+            def body(i, carry):
+                th, tl, invh, invl, diag_a = carry
+                is_owner = owner_mask(i)
+                dslot = diag_slot[i]
+                (fh, fl), (lih, lil), (uih, uil) = jax.vmap(
+                    lambda h, l: D.dd_lu_inverses(h, l, nb=nb,
+                                                  tol=tol))(
+                    diag_a[0], diag_a[1])
+                th = th.at[dslot].set(jnp.where(is_owner, fh, th[dslot]))
+                tl = tl.at[dslot].set(jnp.where(is_owner, fl, tl[dslot]))
+                # persist inverses replicated (identical on every
+                # device — computed from the psum'd diag); padding
+                # members write the spare bl slot
+                kg = kmat[i]
+                kslot = jnp.where(kg >= 0, kg, bl)
+                invh = invh.at[kslot, 0].set(lih).at[kslot, 1].set(uih)
+                invl = invl.at[kslot, 0].set(lil).at[kslot, 1].set(uil)
+                # panel solves + one stacked psum per direction
+                lm = l_mask[i][:, None, None]
+                lbh, lbl = D.dd_matmul(th[l_slot[i]], tl[l_slot[i]],
+                                       uih[l_mem[i]], uil[l_mem[i]])
+                lbh = jnp.where(lm, lbh, z)
+                lbl = jnp.where(lm, lbl, z)
+                th = th.at[l_slot[i]].set(
+                    jnp.where(lm, lbh, th[l_slot[i]]))
+                tl = tl.at[l_slot[i]].set(
+                    jnp.where(lm, lbl, tl[l_slot[i]]))
+                lpan = jax.lax.psum(jnp.stack([lbh, lbl]), "gq")
+                um = u_mask[i][:, None, None]
+                ubh, ubl = D.dd_matmul(lih[u_mem[i]], lil[u_mem[i]],
+                                       th[u_slot[i]], tl[u_slot[i]])
+                ubh = jnp.where(um, ubh, z)
+                ubl = jnp.where(um, ubl, z)
+                th = th.at[u_slot[i]].set(
+                    jnp.where(um, ubh, th[u_slot[i]]))
+                tl = tl.at[u_slot[i]].set(
+                    jnp.where(um, ubl, tl[u_slot[i]]))
+                upan = jax.lax.psum(jnp.stack([ubh, ubl]), "gp")
+                # critical updates first, then the next group's diag
+                # psum issues (lookahead), then the bulk stream
+                cph, cpl = D.dd_matmul(lpan[0][crit_l[i]],
+                                       lpan[1][crit_l[i]],
+                                       upan[0][crit_u[i]],
+                                       upan[1][crit_u[i]])
+                th, tl = wave_apply(th, tl, crit_dst[i], crit_mask[i],
+                                    crit_wave[i], cph, cpl)
+                diag_next = diag_psum(jnp.minimum(i + 1, seg_len - 1),
+                                      th, tl)
+                ph, pl = D.dd_matmul(lpan[0][upd_l[i]],
+                                     lpan[1][upd_l[i]],
+                                     upan[0][upd_u[i]],
+                                     upan[1][upd_u[i]])
+                th, tl = wave_apply(th, tl, upd_dst[i], upd_mask[i],
+                                    upd_wave[i], ph, pl)
+                return th, tl, invh, invl, diag_next
+
+            th, tl, invh, invl, _ = jax.lax.fori_loop(
+                0, seg_len, body,
+                (th, tl, invh[0, 0], invl[0, 0], diag_psum(0, th, tl)))
+            return th[None, None], tl[None, None], \
+                invh[None, None], invl[None, None]
+
+        specs = P("gp", "gq")
+        shard = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(specs, specs, specs, specs, P(), P(), P())
+            + (specs,) * 15,
+            out_specs=(specs, specs, specs, specs),
+            check_vma=False,
+        )
+        step = jax.jit(shard, donate_argnums=(0, 1, 2, 3))
+        cache[shape_key] = step
+        return step
+
     # ---- distributed factorization check ---------------------------------
 
     def factor_check_vector(self) -> np.ndarray:
@@ -558,6 +758,13 @@ class DistributedLU:
         global gather is impossible.  Returns w[:n]."""
         if self.single is not None:
             raise RuntimeError("single-chip path: use gather_factor")
+        if self.dd:
+            # the on-mesh f32 reduction would round the dd low words
+            # away; fully-addressable dd meshes use the gathered host
+            # check instead (api.gstrf routes there)
+            raise NotImplementedError(
+                "on-mesh factor check is f32-reduction based; dd "
+                "factors use the gathered host check")
         lay, p, q = self.layout, self.p, self.q
         bl = self.schedule.block_length
         nb = self.blocked.nb
@@ -632,6 +839,8 @@ class DistributedLU:
             tiles = self.single.factorize()
             self.dist_tiles = tiles
             return np.asarray(tiles)
+        if self.dd:
+            return self._factorize_dd()
         if dist_tiles is None:
             from pangulu_tpu.parallel.multihost import put_grid_sharded
 
@@ -665,3 +874,59 @@ class DistributedLU:
             # needed — solves read the sharded tiles directly.
             return None
         return gather_tiles(self.blocked, self.layout, dist_tiles)
+
+    def _factorize_dd(self):
+        """Double-float distributed factorization driver: builds hi/lo
+        f32 tile shards from the O(nnz) scatter plan, runs the dd
+        segment steps, and keeps ``dist_tiles = (hi, lo)`` plus the
+        replicated triangle-inverse stores ``inv_dd`` for the dd
+        distributed solve."""
+        from pangulu_tpu.parallel.multihost import (put_grid_sharded,
+                                                    put_replicated)
+
+        p, q, lmax = self.p, self.q, self.layout.lmax
+        nb = self.blocked.nb
+        bl = self.schedule.block_length
+        shape = (p, q, lmax, nb, nb)
+
+        def plane(which):
+            def build(r, c):
+                f64 = scatter_tiles_shard(self.blocked, self.layout,
+                                          r, c)
+                hi = f64.astype(np.float32)
+                if which == 0:
+                    return hi
+                return (f64 - hi.astype(np.float64)).astype(np.float32)
+            return build
+
+        with self.perf.phase("preprocess"):
+            th = put_grid_sharded(self.mesh, shape, plane(0))
+            tl = put_grid_sharded(self.mesh, shape, plane(1))
+            inv_shape = (p, q, bl + 1, 2, nb, nb)
+            zeros = np.zeros((1, 1) + inv_shape[2:], np.float32)
+            invh = put_grid_sharded(self.mesh, inv_shape,
+                                    lambda r, c: zeros)
+            invl = put_grid_sharded(self.mesh, inv_shape,
+                                    lambda r, c: zeros)
+        ctx = jax.default_matmul_precision("highest")
+        with self.perf.phase("numeric"), ctx:
+            for kmat, (l_mem, u_mem), t, step in self._segments:
+                th, tl, invh, invl = step(
+                    th, tl, invh, invl,
+                    put_replicated(self.mesh, kmat),
+                    put_replicated(self.mesh, l_mem),
+                    put_replicated(self.mesh, u_mem),
+                    t["diag_slot"], t["l_slot"], t["l_mask"],
+                    t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],
+                    t["upd_u"], t["upd_mask"], t["upd_wave"],
+                    t["crit_dst"], t["crit_l"], t["crit_u"],
+                    t["crit_mask"], t["crit_wave"])
+            th = device_sync(th)
+        self.perf.add_flops(self.schedule.flop_estimate())
+        self.dist_tiles = (th, tl)
+        self.inv_dd = (invh, invl)
+        if not th.is_fully_addressable:
+            return None
+        hi = gather_tiles(self.blocked, self.layout, th)
+        lo = gather_tiles(self.blocked, self.layout, tl)
+        return hi.astype(np.float64) + lo.astype(np.float64)
