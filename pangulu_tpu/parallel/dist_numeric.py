@@ -191,9 +191,23 @@ class DistributedLU:
                     "collective engine, member-wave exact updates)")
             get_step = self._get_step_dd if self.dd else self._get_step
             self._segments = [
-                (kmat, mems, self._put_tables(tables), get_step(
-                    (kmat.shape[0],) + sig))
+                (kmat, mems, self._ship_tables(kmat, mems, tables),
+                 get_step((kmat.shape[0],) + sig))
                 for kmat, mems, sig, tables in self._prepare_levels()]
+
+    def _ship_tables(self, kmat, mems, tables: dict) -> dict:
+        """Device-resident tables, shipped ONCE at construction: the
+        sharded [p,q,...] index tables plus the replicated kmat /
+        member-select rows (previously re-uploaded on every factorize
+        call — wasteful for refactorization chains and steady-state
+        timing)."""
+        from pangulu_tpu.parallel.multihost import put_replicated
+
+        t = self._put_tables(tables)
+        t["kmat"] = put_replicated(self.mesh, kmat)
+        t["l_mem"] = put_replicated(self.mesh, mems[0])
+        t["u_mem"] = put_replicated(self.mesh, mems[1])
+        return t
 
     def _put_tables(self, tables: dict) -> dict:
         """Ship the [p, q, ...] index tables to their owning devices
@@ -832,7 +846,12 @@ class DistributedLU:
 
     # ---- driver ----------------------------------------------------------
 
-    def factorize(self, dist_tiles=None):
+    def factorize(self, dist_tiles=None, sync=True):
+        """Run the distributed factorization.  ``sync=False`` skips the
+        completion readback and the host gather, returning the async
+        sharded tiles — the steady-state timing protocol (K chained
+        runs + one device_sync; see bench.py's rationale: any host
+        readback costs a full tunnel round trip)."""
         if self.single is not None:
             # 1x1 mesh: single-chip fast path (Pallas mega-kernel on
             # TPU) — identical math, no collectives to pay for.
@@ -853,19 +872,18 @@ class DistributedLU:
                     self.mesh, shape,
                     lambda r, c: scatter_tiles_shard(
                         self.blocked, self.layout, r, c))
-        from pangulu_tpu.parallel.multihost import put_replicated
-
         ctx = jax.default_matmul_precision("highest")
         with self.perf.phase("numeric"), ctx:
             for kmat, (l_mem, u_mem), t, step in self._segments:
                 dist_tiles = step(
-                    dist_tiles, put_replicated(self.mesh, kmat),
-                    put_replicated(self.mesh, l_mem),
-                    put_replicated(self.mesh, u_mem),
+                    dist_tiles, t["kmat"], t["l_mem"], t["u_mem"],
                     t["diag_slot"], t["l_slot"], t["l_mask"],
                     t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],
                     t["upd_u"], t["upd_mask"], t["crit_dst"],
                     t["crit_l"], t["crit_u"], t["crit_mask"])
+            if not sync:
+                self.dist_tiles = dist_tiles
+                return dist_tiles
             dist_tiles = device_sync(dist_tiles)
         self.perf.add_flops(self.schedule.flop_estimate())
         self.dist_tiles = dist_tiles
@@ -881,8 +899,7 @@ class DistributedLU:
         segment steps, and keeps ``dist_tiles = (hi, lo)`` plus the
         replicated triangle-inverse stores ``inv_dd`` for the dd
         distributed solve."""
-        from pangulu_tpu.parallel.multihost import (put_grid_sharded,
-                                                    put_replicated)
+        from pangulu_tpu.parallel.multihost import put_grid_sharded
 
         p, q, lmax = self.p, self.q, self.layout.lmax
         nb = self.blocked.nb
@@ -913,9 +930,7 @@ class DistributedLU:
             for kmat, (l_mem, u_mem), t, step in self._segments:
                 th, tl, invh, invl = step(
                     th, tl, invh, invl,
-                    put_replicated(self.mesh, kmat),
-                    put_replicated(self.mesh, l_mem),
-                    put_replicated(self.mesh, u_mem),
+                    t["kmat"], t["l_mem"], t["u_mem"],
                     t["diag_slot"], t["l_slot"], t["l_mask"],
                     t["u_slot"], t["u_mask"], t["upd_dst"], t["upd_l"],
                     t["upd_u"], t["upd_mask"], t["upd_wave"],

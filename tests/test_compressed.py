@@ -61,6 +61,7 @@ def test_compressed_end_to_end_api():
     finalize(h)
 
 
+@pytest.mark.slow
 def test_compressed_memory_savings_circuit():
     """VERDICT r1 done-criterion: >= 3x HBM reduction on a
     circuit-class matrix with residual parity."""

@@ -56,6 +56,7 @@ def test_dd_matmul_accuracy():
     assert rel < 1e-11
 
 
+@pytest.mark.slow
 def test_dd_lu_inverses_vs_f64():
     rng = np.random.default_rng(2)
     for nb in (32, 48, 64):
@@ -130,6 +131,7 @@ def test_dd_matches_f64_engine():
                                atol=1e-11)
 
 
+@pytest.mark.slow
 def test_dd_ir_solve_matches_pure_dd():
     """The device-fused IR solve (default) and the all-dd fused solve
     must both reach f64-class residuals; IR is the fast path (one f32
@@ -264,6 +266,7 @@ def test_superfused_wave_tables_cover_all_updates():
     assert multi_wave, "fixture never exercises a second wave"
 
 
+@pytest.mark.slow
 def test_dd_group_engine_matches_dd():
     """The batched super-level group dd engine must agree with the
     per-level dd engine to ~dd precision and keep residual + solve
@@ -287,6 +290,7 @@ def test_dd_group_engine_matches_dd():
     assert residual_norm(a.to_scipy(), x, b) < 1e-12
 
 
+@pytest.mark.slow
 def test_dd_ir_solve_grouped_correction_matches():
     """The dd IR solve with the batched-group Pallas correction
     (interpret mode here; TPU-gated in production) must reach the same
@@ -370,6 +374,7 @@ def test_dd_mega_end_to_end_solve():
     assert residual_norm(a.to_scipy(), x, b) < 1e-12
 
 
+@pytest.mark.slow
 def test_dd_mega_multichunk_panels():
     """A level wider than the dd panel chunk (pch) exercises the
     chunked panel loop and the Schur chunk-reload path."""

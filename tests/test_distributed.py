@@ -178,6 +178,7 @@ def test_dist_refactorize_cycle():
     assert h.perf.kernels.get("dist_reuse", 0) == 2
 
 
+@pytest.mark.slow
 def test_dist_dd_matches_f64_engine(monkeypatch):
     """The DOUBLE-FLOAT distributed engine (r64 multi-chip on TPU,
     judge r4 missing #1), forced on the CPU mesh via
@@ -251,6 +252,7 @@ def test_dist_dd_api_end_to_end(monkeypatch):
     assert residual_norm(s2, x2, b2) < 1e-11
 
 
+@pytest.mark.slow
 def test_dist_dd_cr64_embed(monkeypatch):
     """cr64 on a mesh via the real 2x2 embedding + dd engine (judge r4
     stretch #9: closes the multi-chip value-type matrix)."""

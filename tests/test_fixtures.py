@@ -56,6 +56,7 @@ def test_reference_fixture_matches_generator():
 
 
 @needs_ref
+@pytest.mark.slow
 def test_reference_fixture_through_cli(tmp_path):
     """The reference's smoke test through our CLI driver: mtx from
     disk, nb=10, --check — the two acceptance residuals printed and
@@ -93,6 +94,7 @@ def test_bundled_irregular_fixtures(name, tol):
     finalize(h)
 
 
+@pytest.mark.slow
 def test_bundled_fixture_requires_mc64():
     """The circuit fixture must actually NEED the MC64 path (otherwise
     it is not testing what it claims): without matching/scaling the

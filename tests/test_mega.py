@@ -13,7 +13,8 @@ from pangulu_tpu.utils.perf import factorization_residual
 
 
 @pytest.mark.parametrize("gen,kw,nb", [
-    (poisson2d, dict(nx=8), 16),
+    pytest.param(poisson2d, dict(nx=8), 16,
+                 marks=pytest.mark.slow),
     (random_unsymmetric, dict(n=96, density=0.06, seed=5), 16),
 ])
 def test_mega_matches_fused(gen, kw, nb):
@@ -34,6 +35,7 @@ def test_mega_matches_fused(gen, kw, nb):
     assert res < 1e-5
 
 
+@pytest.mark.slow
 def test_mega_chunked_panels():
     """Forced tiny panel chunk exercises the U/L chunk reload paths."""
     import jax.numpy as jnp
@@ -83,6 +85,7 @@ def test_mega_solve_matches_fused():
                                ts.solve(tiles, B), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mega_solve_chunked_panels(monkeypatch):
     """Panels wider than the chunk buffer stream through the global
     chunk pipeline (the max-panel eligibility gate is gone): force a
@@ -264,8 +267,10 @@ def _decoupled():
 
 
 @pytest.mark.parametrize("gen,kw,ordering", [
-    (poisson2d, dict(nx=12), "nd"),
-    (_decoupled, dict(), "natural"),
+    pytest.param(poisson2d, dict(nx=12), "nd",
+                 marks=pytest.mark.slow),
+    pytest.param(_decoupled, dict(), "natural",
+                 marks=pytest.mark.slow),
 ])
 def test_mega_superlevel_matches_fused(gen, kw, ordering, monkeypatch):
     """Super-level pipelined mega kernel (depth-ordered tables,
@@ -361,7 +366,8 @@ def test_mega_pch_one_no_half_branch():
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("nx", [7, 8])
+@pytest.mark.parametrize(
+    "nx", [pytest.param(7, marks=pytest.mark.slow), 8])
 def test_mega_solve_bl_parity(nx):
     """The solve kernel's semaphore-drain ledger depends on bl's
     parity (slot bl%2 holds the unwaited prologue pair) — cover an odd

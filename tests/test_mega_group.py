@@ -39,9 +39,12 @@ def _group_tables_have_shared_dsts(t):
 
 
 @pytest.mark.parametrize("gen,kw,ordering", [
-    (poisson2d, dict(nx=12), "nd"),
-    (_decoupled, dict(), "natural"),
-    (smallworld, dict(nx=14), "nd"),
+    pytest.param(poisson2d, dict(nx=12), "nd",
+                 marks=pytest.mark.slow),
+    pytest.param(_decoupled, dict(), "natural",
+                 marks=pytest.mark.slow),
+    pytest.param(smallworld, dict(nx=14), "nd",
+                 marks=pytest.mark.slow),
 ])
 def test_group_matches_fused(gen, kw, ordering):
     from pangulu_tpu.sptrsv import TriangularSolver
@@ -83,6 +86,7 @@ def test_group_shared_dst_slots_exercised():
         "no duplicate dsts — slot machinery untested by this fixture"
 
 
+@pytest.mark.slow
 def test_group_small_gmax_splits_wide_levels():
     """gmax smaller than the widest super-level forces group
     splitting; results must be unchanged."""
@@ -152,9 +156,12 @@ def test_group_auto_dispatch_rule():
 
 
 @pytest.mark.parametrize("gen,kw,ordering,nb", [
-    (poisson2d, dict(nx=12), "nd", 16),
-    (smallworld, dict(nx=14), "nd", 16),
-    (poisson2d, dict(nx=8), "rcm", 16),   # singleton groups (G=1)
+    pytest.param(poisson2d, dict(nx=12), "nd", 16,
+                 marks=pytest.mark.slow),
+    pytest.param(smallworld, dict(nx=14), "nd", 16,
+                 marks=pytest.mark.slow),
+    pytest.param(poisson2d, dict(nx=8), "rcm", 16,
+                 marks=pytest.mark.slow),   # singleton groups (G=1)
 ])
 def test_group_solve_matches_fused(gen, kw, ordering, nb):
     """Batched-group mega solve (forced on) must match the XLA fused

@@ -45,6 +45,7 @@ def test_four_process_distributed_solve():
     assert "processes=4" in r.stdout
 
 
+@pytest.mark.slow
 def test_distributed_init_strict_raises():
     """A misconfigured explicit coordinator must fail loudly, not
     silently degrade to single-process (VERDICT r1, weak #10)."""

@@ -26,8 +26,10 @@ def _problem(a, nb, ordering="rcm"):
 
 @pytest.mark.parametrize("gen,kw,nb,w", [
     (poisson2d, dict(nx=9), 8, 3),     # several panels + remainder
-    (smallworld, dict(nx=12), 16, 2),  # irregular fill, tiny panels
-    (circuit, dict(n=500, seed=3), 16, 4),
+    pytest.param(smallworld, dict(nx=12), 16, 2,
+                 marks=pytest.mark.slow),  # irregular fill, tiny panels
+    pytest.param(circuit, dict(n=500, seed=3), 16, 4,
+                 marks=pytest.mark.slow),
 ])
 def test_panel_lu_matches_dense_fused(gen, kw, nb, w):
     """The panel driver must reproduce the dense fused engine on the
@@ -50,6 +52,7 @@ def test_panel_lu_matches_dense_fused(gen, kw, nb, w):
     assert res < 1e-4, res
 
 
+@pytest.mark.slow
 def test_panel_lu_end_to_end_solve():
     a = poisson2d(10)
     ro, blocked, schedule = _problem(a, 8)
@@ -63,6 +66,7 @@ def test_panel_lu_end_to_end_solve():
     assert residual_norm(a.to_scipy(), x, b) < 1e-3  # f32, no refine
 
 
+@pytest.mark.slow
 def test_panel_lu_single_panel_equals_compressed():
     """panel_width >= bl: one cross = the whole matrix; the store must
     match the existing compressed engine exactly (same staging math)."""
@@ -81,6 +85,7 @@ def test_panel_lu_single_panel_equals_compressed():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_panel_lu_tiny_out_chunk():
     """Force many small out-update chunks (dst-group splitting)."""
     a = smallworld(12, seed=7)

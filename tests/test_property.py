@@ -87,7 +87,9 @@ def _campaign_config(seed: int):
     return a, dtype, nb, ordering, family
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize(
+    "seed", [s if s < 10 else pytest.param(s, marks=pytest.mark.slow)
+             for s in range(20)])
 def test_seeded_campaign(seed):
     """Seeded randomized campaign (>=20 configs): regressions in the
     auto-dispatch / ordering / dtype interplay fail HERE in CI, not

@@ -92,7 +92,9 @@ def test_factor_diagnostics():
     finalize(h)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize(
+    "seed", [s if s < 3 else pytest.param(s, marks=pytest.mark.slow)
+             for s in range(8)])
 @pytest.mark.parametrize("ordering", ["rcm", "mindeg"])
 def test_factor_diagnostics_sign_many_seeds(seed, ordering):
     """Determinant SIGN across many random matrices/orderings: the

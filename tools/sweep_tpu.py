@@ -152,7 +152,9 @@ print(f"{'mega_group nd p3d(20)':22s} n={a.n:7d} dispatch={disp:10s} "
 finalize(h)
 
 # nb=256 (the reference default, pangulu.c:52-56) through the mega
-# factorize kernel (uch=16 chunk geometry); solve takes the XLA path
+# factorize kernel (uch=16 chunk geometry) AND the nb=256 mega SOLVE
+# (round 5: the solve gate now accepts nb in {128,256}; previously a
+# silent ~5x XLA fallback)
 a = poisson3d(16)
 h = init(a, InitOptions(nb=256, dtype="r32", ordering="rcm",
                         symbolic_mode="block"))
@@ -161,10 +163,48 @@ disp = h._factorizer.dispatch
 b = np.asarray(a.to_scipy() @ np.ones(a.n)).astype(np.float32)
 x = gstrs(h, b)
 res = residual_norm(a.to_scipy(), x, b)
+solver = h._trisolver
+mega_solve_on = solver is not None and solver._mega_eligible(1)
+t0 = time.perf_counter()
+for _ in range(10):
+    x = gstrs(h, b)
+dt_s256 = (time.perf_counter() - t0) / 10
 print(f"{'nb=256 poisson3d(16)':22s} n={a.n:7d} dispatch={disp:10s} "
-      f"residual={res:.2e} "
-      f"{'OK' if res < 1e-4 and disp == 'mega' else 'FAIL'}", flush=True)
+      f"residual={res:.2e} mega_solve={mega_solve_on} "
+      f"{dt_s256*1e3:.1f} ms/solve "
+      f"{'OK' if res < 1e-4 and disp == 'mega' and mega_solve_on else 'FAIL'}",
+      flush=True)
 finalize(h)
+
+# distributed dd engine on the real chip: (1,1) force_collective mesh
+# runs the dd shard_map step (vmapped Pallas dd scans INSIDE shard_map
+# — a Mosaic surface no CPU test reaches) + the dd dist solve
+from pangulu_tpu.parallel.dist_numeric import DistributedLU  # noqa: E402
+from pangulu_tpu.parallel.dist_sptrsv import (  # noqa: E402
+    DistributedTriangularSolver,
+)
+from pangulu_tpu.parallel.mesh import make_mesh  # noqa: E402
+from pangulu_tpu.reorder import reorder as _reorder  # noqa: E402
+from pangulu_tpu.blocks import tile_matrix as _tile  # noqa: E402
+from pangulu_tpu.symbolic import symbolic as _symb  # noqa: E402
+from pangulu_tpu.schedule import build_schedule as _bs  # noqa: E402
+a = poisson3d(10)
+ro = _reorder(a, ordering="rcm")
+blk = _tile(ro.reordered.astype(np.float64), _symb(ro.reordered, 128))
+sch = _bs(blk)
+mesh1 = make_mesh(1)
+ddlu = DistributedLU(blk, sch, (1, 1), mesh=mesh1,
+                     force_collective=True)
+g = ddlu.factorize()
+b = np.asarray(a.to_scipy() @ np.ones(a.n))
+dts = DistributedTriangularSolver(blk, sch, ddlu.layout, mesh1,
+                                  inv_dd=ddlu.inv_dd)
+w = dts.solve(ddlu.dist_tiles, ro.transform_b(b))
+x = ro.transform_x(w)
+res = residual_norm(a.to_scipy(), x, b)
+print(f"{'dist-dd 1x1 chip':22s} n={a.n:7d} dispatch=dist-dd   "
+      f"residual={res:.2e} dd={ddlu.dd} "
+      f"{'OK' if res < 1e-11 and ddlu.dd else 'FAIL'}", flush=True)
 
 # r64 dd IR solve steady-state rate (judge r2 #2: dd solve at speed)
 a = poisson3d(16)
