@@ -386,8 +386,14 @@ class LUFactorizer:
             from pangulu_tpu.ops.kernels_pallas_dd import (DD_MAX_PCH,
                                                            DD_UCH)
 
-            self._mega = self.schedule.mega_tables(
-                self.blocked.num_tiles, uch=DD_UCH, max_pch=DD_MAX_PCH)
+            # ship tables to the device ONCE (numpy values would be
+            # re-uploaded on every factorize call — measured as part
+            # of a 22 ms/fact fixed cost on the tunnel, r5)
+            self._mega = {
+                k: (v if isinstance(v, int) else jnp.asarray(v))
+                for k, v in self.schedule.mega_tables(
+                    self.blocked.num_tiles, uch=DD_UCH,
+                    max_pch=DD_MAX_PCH).items()}
         elif dispatch == "dd":
             self._fused_args = tuple(
                 jnp.asarray(t) for t in

@@ -542,20 +542,41 @@ def _mega_dd_call(tiles2, diag_tab, nl_tab, nu_tab, nup_tab,
       comb_tab, udst_tab, udl_tab, udu_tab, tiles2)
 
 
+@x32_trace
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "tol", "bl", "pch", "uch"),
+                   donate_argnums=(0, 1))
+def _mega_dd_entry(th, tl, diag_tab, nl_tab, nu_tab, nup_tab,
+                   lid_tab, uid_tab, udst_tab, udl_tab, udu_tab,
+                   *, nb, tol, bl, pch, uch):
+    """One-dispatch entry: hi/lo interleave, the kernel, and the
+    plane/inverse de-interleave all inside ONE jit.  As four separate
+    device calls (stack / pallas / two slices) the tunnel paid ~3 ms
+    of dispatch latency EACH — measured 22 ms/fact of pure fixed cost
+    at n=4096 (the kernel itself is ~5 ms there)."""
+    tiles2 = jnp.stack([th, tl], axis=1)
+    tiles2, invs = _mega_dd_call(
+        tiles2, diag_tab, nl_tab, nu_tab, nup_tab, lid_tab, uid_tab,
+        udst_tab, udl_tab, udu_tab, nb=nb, tol=tol, bl=bl, pch=pch,
+        uch=uch)
+    return (tiles2[:, 0], tiles2[:, 1],
+            invs[:, :, 0], invs[:, :, 1])
+
+
 def mega_factorize_dd(th, tl, tables, *, nb, tol, bl):
-    """Factor a dd tile store in ONE Pallas launch.
+    """Factor a dd tile store in ONE Pallas launch (one device
+    dispatch end-to-end).
 
     th/tl: [nt+1, nb, nb] f32 hi/lo planes (donated).  ``tables``:
-    Schedule.mega_tables(scratch, uch=DD_UCH, max_pch=DD_MAX_PCH).
+    Schedule.mega_tables(scratch, uch=DD_UCH, max_pch=DD_MAX_PCH) —
+    pass jnp arrays (numeric.py ships them to the device ONCE at
+    engine construction; numpy here would re-upload per call).
     Returns (th, tl, invh, invl) with invh/invl [bl, 2, nb, nb] —
     the dd triangle inverses the dd solve consumes."""
-    tiles2 = jnp.stack([th, tl], axis=1)
     t = {k: (v if isinstance(v, int) else jnp.asarray(v))
          for k, v in tables.items()}
-    tiles2, invs = _mega_dd_call(
-        tiles2, t["diag_tab"], t["nl_tab"], t["nu_tab"], t["nup_tab"],
+    return _mega_dd_entry(
+        th, tl, t["diag_tab"], t["nl_tab"], t["nu_tab"], t["nup_tab"],
         t["lid_tab"], t["uid_tab"], t["udst_tab"], t["udl_tab"],
         t["udu_tab"], nb=nb, tol=tol, bl=bl, pch=t["pch"],
         uch=t["uch"])
-    return (tiles2[:, 0], tiles2[:, 1],
-            invs[:, :, 0], invs[:, :, 1])
