@@ -242,7 +242,7 @@ class DistributedLU:
         and are applied with scatter-ADD, which accumulates duplicates
         exactly.  Yields (kmat, mem_tabs, (G, NL, NU, NUP), tables)
         per segment."""
-        from pangulu_tpu.schedule import bucket, group_runs
+        from pangulu_tpu.schedule import bucket, waste_aware_runs
 
         lay, p, q = self.layout, self.p, self.q
         scratch = lay.lmax - 1
@@ -348,7 +348,15 @@ class DistributedLU:
         # EXACT maxima — the psum'd panel buffers are what actually
         # crosses the interconnect, and power-of-two padding shipped up
         # to 2x zeros per level (judge r2 "traffic inflation").
-        runs = group_runs(sig, min_run=16)
+        # Waste-aware segmentation: weights = relative per-unit steady
+        # costs measured on chip (BASELINE r5 decomposition: one diag
+        # member ~21 us of Pallas scan+Newton work; one panel tile or
+        # Schur update ~1-2 us of gather/matmul/scatter).  lam ~ the
+        # padded-volume equivalent of one extra compiled step's
+        # steady-state overhead (segment handoff ~0.1 ms -> ~50 units);
+        # compile cost is one-time (persistent cache).
+        runs = waste_aware_runs(sig, weights=(12.0, 1.0, 1.0, 2.0),
+                                lam=400.0)
         nb = self.schedule.nb
         item = 4
         real_b = padded_b = 0

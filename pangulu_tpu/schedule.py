@@ -771,6 +771,56 @@ def prodrow_tiers(pch: int) -> tuple:
     return tuple(tiers)
 
 
+def waste_aware_runs(sig: list, weights: tuple, lam: float) -> list:
+    """Split a per-group signature sequence into contiguous runs
+    minimizing TOTAL PADDED COST: each run is padded to its
+    elementwise-max signature, costing ``len(run) * dot(weights,
+    max_sig)``, plus ``lam`` per run (the per-compiled-step overhead —
+    one jitted executable per run).
+
+    ``group_runs(min_run=16)`` merges by POSITION, which on grouped
+    (nd) schedules welds wide early groups to narrow late ones and
+    pads everything to global maxima — measured 58.8 ms vs rcm's
+    21.5 ms on the bench matrix at (1,1) even though nd has 7x fewer
+    sequential steps (BASELINE r5).  This O(n^2) DP pads each run to
+    its OWN maxima; ``lam`` bounds the run count economically instead
+    of positionally.
+
+    Returns [[start, end_exclusive, max_sig], ...] like group_runs.
+    """
+    n = len(sig)
+    if n == 0:
+        return []
+    INF = float("inf")
+    best = [INF] * (n + 1)
+    best[0] = 0.0
+    cut = [0] * (n + 1)
+    for i in range(1, n + 1):
+        mx = list(sig[i - 1])
+        j = i - 1
+        while j >= 0:
+            vol = sum(w * m for w, m in zip(weights, mx))
+            c = best[j] + (i - j) * vol + lam
+            if c < best[i]:
+                best[i] = c
+                cut[i] = j
+            j -= 1
+            if j >= 0:
+                s = sig[j]
+                for d in range(len(mx)):
+                    if s[d] > mx[d]:
+                        mx[d] = s[d]
+    runs = []
+    i = n
+    while i > 0:
+        j = cut[i]
+        mx = tuple(max(vals) for vals in zip(*sig[j:i]))
+        runs.append([j, i, mx])
+        i = j
+    runs.reverse()
+    return runs
+
+
 def group_runs(sig: list, min_run: int) -> list:
     """Group consecutive equal per-level signatures into runs and merge
     runs shorter than ``min_run`` into their predecessor (elementwise-
