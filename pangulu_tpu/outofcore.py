@@ -217,6 +217,35 @@ class PanelLU:
         in_row = (self._rows >= c0) & (self._rows < c1)
         return np.flatnonzero(in_col | in_row)
 
+    def _dense_budget_tiles(self) -> int:
+        """Max tiles one dense panel cross may occupy.
+
+        ``panel_width`` is sized from the AVERAGE tiles per block
+        column, but real crosses vary by orders of magnitude across
+        panels (separator-heavy panels of an ND ordering) — the >16 GB
+        demo OOM'd when one cross hit 7 GiB on top of a ~10 GiB
+        compressed store.  The budget is derived from the ACTUAL HBM
+        limit minus what the run already holds: the compressed store,
+        the gather/scatter staging temporaries (~= the stage budget),
+        and a fixed spare for the collected inverse panels, out-update
+        chunks and allocator fragmentation."""
+        nb = self.blocked.nb
+        tile_b = nb * nb * np.dtype(self.blocked.dtype).itemsize
+        env = os.environ.get("PANGULU_OOC_CROSS_GB")
+        if env is not None:
+            return max(int(float(env) * 2 ** 30 // tile_b), 64)
+        hbm = 15.0 * 2 ** 30
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            hbm = float(ms.get("bytes_limit") or hbm)
+        except Exception:
+            pass
+        stage_b = int(float(os.environ.get(
+            "PANGULU_OOC_STAGE_GB", "2")) * 2 ** 30)
+        spare = 2 * 2 ** 30
+        free = hbm - self.store.compressed_bytes - stage_b - spare
+        return max(int(free // tile_b), 64)
+
     def _sub_schedule(self, c0, c1, local_of):
         """Mini Schedule over the panel's levels with CROSS-local tile
         ids; returns (schedule, out_updates) where out_updates is the
@@ -267,6 +296,10 @@ class PanelLU:
         st = self.store
         nb = st.nb
         cross = self._cross_ids(c0, c1)
+        log.info("panel cols [%d,%d): cross %d tiles (%.2f GiB dense)",
+                 c0, c1, len(cross),
+                 len(cross) * nb * nb
+                 * np.dtype(self.blocked.dtype).itemsize / 2 ** 30)
         local_of = np.full(self.blocked.num_tiles + 1, -1, dtype=np.int64)
         local_of[cross] = np.arange(len(cross))
         sub, (odst, olsel, ousel) = self._sub_schedule(c0, c1, local_of)
@@ -364,14 +397,34 @@ class PanelLU:
 
         bl = self.schedule.block_length
         w = self.panel_width
+        budget = self._dense_budget_tiles()
         self._inv_parts = []
+        self.panel_cols: list = []   # [(c0, c1)] actually executed
         t0 = _time.perf_counter()
         with self.perf.phase("numeric"):
-            for c0 in range(0, bl, w):
-                self._panel_pass(c0, min(c0 + w, bl))
-                log.info("panel %d/%d dispatched (%.1fs elapsed)%s",
-                         c0 // w + 1, -(-bl // w),
+            c0, npanel = 0, 0
+            while c0 < bl:
+                # HBM-aware split: halve the width until this panel's
+                # MEASURED cross fits the dense budget (halving — not
+                # arbitrary shrinking — keeps the set of panel lengths
+                # small so Mosaic compiles of the sub-problem kernel
+                # stay cached across panels)
+                wc = min(w, bl - c0)
+                while (wc > 1
+                       and len(self._cross_ids(c0, c0 + wc)) > budget):
+                    wc = (wc + 1) // 2
+                if wc == 1 and len(self._cross_ids(c0, c0 + 1)) > budget:
+                    log.warning(
+                        "panel col %d: single-column cross exceeds the "
+                        "%d-tile dense budget — proceeding (may OOM)",
+                        c0, budget)
+                self._panel_pass(c0, c0 + wc)
+                self.panel_cols.append((c0, c0 + wc))
+                npanel += 1
+                log.info("panel %d (cols %d-%d of %d) dispatched "
+                         "(%.1fs elapsed)%s", npanel, c0, c0 + wc, bl,
                          _time.perf_counter() - t0, _hbm_note())
+                c0 += wc
             self.store.values = device_sync(self.store.values)
         self.inv_tiles = (jnp.concatenate(self._inv_parts)
                           if len(self._inv_parts) > 1
@@ -381,9 +434,11 @@ class PanelLU:
         self.perf.kernel_counts(
             getrf=bl, tstrf=self.schedule.n_tstrf,
             gessm=self.schedule.n_gessm, ssssm=self.schedule.n_ssssm)
-        log.info("panel out-of-core: %d panels of %d cols; compressed "
-                 "store %.1f MiB vs %.1f MiB dense (%.1fx)",
-                 -(-bl // w), w, self.store.compressed_bytes / 2 ** 20,
+        log.info("panel out-of-core: %d panels (width <= %d, cross "
+                 "budget %d tiles); compressed store %.1f MiB vs "
+                 "%.1f MiB dense (%.1fx)",
+                 npanel, w, budget,
+                 self.store.compressed_bytes / 2 ** 20,
                  self.store.dense_bytes / 2 ** 20,
                  self.store.dense_bytes
                  / max(self.store.compressed_bytes, 1))

@@ -85,6 +85,31 @@ def test_panel_lu_single_panel_equals_compressed():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_panel_lu_adaptive_hbm_split(monkeypatch):
+    """HBM-aware splitting: with a tiny dense-cross budget the driver
+    must halve panel widths below panel_width (the >16 GB demo OOM
+    class: one panel's REAL cross far exceeding the average-based
+    width heuristic) and still reproduce the fused engine."""
+    a = poisson2d(16)
+    ro, blocked, schedule = _problem(a, 8)
+    bl = schedule.block_length
+    bk = get_backend("pallas", nb=8, dtype=blocked.dtype)
+    monkeypatch.setenv("PANGULU_OOC_CROSS_GB", "1e-9")  # floor: 64 tiles
+    plu = PanelLU(blocked, schedule, ro.reordered, backend=bk,
+                  panel_width=bl)
+    st = plu.factorize()
+    assert len(plu.panel_cols) > 1, "budget did not force a split"
+    assert all(len(plu._cross_ids(c0, c1)) <= 64
+               or c1 - c0 == 1 for c0, c1 in plu.panel_cols)
+    assert plu.panel_cols[0][0] == 0 and plu.panel_cols[-1][1] == bl
+    ref = np.asarray(LUFactorizer(blocked, schedule,
+                                  backend=get_backend("jax"),
+                                  dispatch="fused").factorize())
+    nt = blocked.num_tiles
+    np.testing.assert_allclose(np.asarray(st)[:nt], ref[:nt],
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_panel_lu_tiny_out_chunk():
     """Force many small out-update chunks (dst-group splitting)."""
