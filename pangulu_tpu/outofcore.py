@@ -101,31 +101,38 @@ def _scatter_dense(values, idx, off, cap, ids, dense, scratch, *, nb,
     return values.at[tgt].set(jnp.where(mask, v, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "capmax", "nacc"),
+@functools.partial(jax.jit, static_argnames=("nb", "capw", "nacc"),
                    donate_argnums=(0,))
 def _apply_out_updates(values, idx, off, cap, cross, l_sel, u_sel,
-                       acc_sel, dst_ids, *, nb, capmax, nacc):
+                       acc_sel, dst_ids, *, nb, capw, nacc):
     """One chunk of out-of-cross Schur updates: batched MXU products
     from the factored cross, per-destination accumulation, then a
     gather-subtract-scatter on the compressed slots.
 
     l_sel/u_sel: [NU] cross-local tile indices; acc_sel: [NU] index of
     each update's destination within this chunk's unique-dst list;
-    dst_ids: [nacc] GLOBAL tile ids (pad: scratch tile, cap 0)."""
+    dst_ids: [nacc] GLOBAL tile ids (pad: scratch tile, cap 0).
+
+    ``capw`` is the CHUNK's slot width — the chunk builder groups
+    destinations into power-of-two capacity classes (the reference's
+    geometric storage bins, pangulu_preprocessing.c:325-332) so the
+    gather/scatter traffic scales with each tile's ACTUAL fill, not
+    the global capmax: this phase is HBM-bandwidth-bound at demo
+    scale, and most tiles carry far less than capmax entries."""
     dt = values.dtype
     prod = jnp.matmul(cross[l_sel], cross[u_sel],
                       preferred_element_type=dt,
                       precision=jax.lax.Precision.HIGHEST)
     acc = jnp.zeros((nacc, nb, nb), dt).at[acc_sel].add(prod)
     nn = nb * nb
-    ar = jnp.arange(capmax)
+    ar = jnp.arange(capw)
     pos = off[dst_ids][:, None] + ar[None, :]
     mask = ar[None, :] < cap[dst_ids][:, None]
     ix = idx[pos].astype(jnp.int32)
     cur = jnp.where(mask, values[pos], 0)
     upd = acc.reshape(nacc, nn)[jnp.arange(nacc)[:, None],
                                 jnp.minimum(ix, nn - 1)]
-    scratch = values.shape[0] - capmax
+    scratch = off[-1]     # off[nt] = scratch region start
     tgt = jnp.where(mask, pos, scratch)
     return values.at[tgt].set(jnp.where(mask, cur - upd, 0))
 
@@ -348,40 +355,59 @@ class PanelLU:
             nb=nb, tol=mtol, bl=c1 - c0, pch=t["pch"], uch=t["uch"])
         self._inv_parts.append(invs)
 
-        # 3. out-of-cross Schur updates, chunked by destination groups
+        # 3. out-of-cross Schur updates, chunked by destination groups.
+        # Destinations are partitioned into power-of-two CAPACITY
+        # CLASSES first: the scatter traffic of a chunk is
+        # nacc x class-width, so slots ride a width sized to their
+        # actual fill instead of the global capmax (~2x less HBM
+        # traffic at demo scale, where this phase is bandwidth-bound).
         if len(odst):
             order = np.argsort(odst, kind="stable")
             odst, olsel, ousel = odst[order], olsel[order], ousel[order]
             starts = np.flatnonzero(np.r_[True, odst[1:] != odst[:-1]])
             bounds = np.r_[starts, len(odst)]
-            g = 0
-            while g < len(starts):
-                g_end = g
-                while (g_end < len(starts)
-                       and bounds[g_end + 1] - bounds[g]
-                       <= self.out_chunk):
-                    g_end += 1
-                g_end = max(g_end, g + 1)   # one oversized group alone
-                s, e = bounds[g], bounds[g_end]
-                nupd = bucket(int(e - s))
-                nacc = bucket(g_end - g)
-                l_sel = np.full(nupd, len(cross), dtype=np.int32)
-                u_sel = np.full(nupd, len(cross), dtype=np.int32)
-                acc_sel = np.full(nupd, nacc - 1, dtype=np.int32)
-                l_sel[: e - s] = olsel[s:e]
-                u_sel[: e - s] = ousel[s:e]
-                acc_sel[: e - s] = (
-                    np.searchsorted(odst[starts[g:g_end]], odst[s:e]))
-                dst_ids = np.full(nacc, st.num_tiles, dtype=np.int32)
-                dst_ids[: g_end - g] = odst[starts[g:g_end]]
-                # padded update rows: scratch-cross tiles are zero ->
-                # zero products accumulated into the padded acc slot
-                st.values = _apply_out_updates(
-                    st.values, st.idx, st.off, st.cap, dense,
-                    jnp.asarray(l_sel), jnp.asarray(u_sel),
-                    jnp.asarray(acc_sel), jnp.asarray(dst_ids),
-                    nb=nb, capmax=st.capmax, nacc=nacc)
-                g = g_end
+            gcap = st.host_cap[odst[starts]]
+            # class width per dst group: next pow2 >= cap, floor 1024
+            # (fewer distinct widths -> fewer jit entries)
+            gcls = np.maximum(
+                2 ** np.ceil(np.log2(np.maximum(gcap, 1))).astype(
+                    np.int64), 1024)
+            gcls = np.minimum(gcls, st.capmax)
+            for capw in np.unique(gcls):
+                sel_g = np.flatnonzero(gcls == capw)
+                i = 0
+                while i < len(sel_g):
+                    j, tot = i, 0
+                    while j < len(sel_g) and (
+                            j == i
+                            or tot + bounds[sel_g[j] + 1]
+                            - bounds[sel_g[j]] <= self.out_chunk):
+                        tot += bounds[sel_g[j] + 1] - bounds[sel_g[j]]
+                        j += 1
+                    gs = sel_g[i:j]
+                    upd = np.concatenate(
+                        [np.arange(bounds[g], bounds[g + 1])
+                         for g in gs])
+                    nupd = bucket(len(upd))
+                    nacc = bucket(len(gs))
+                    l_sel = np.full(nupd, len(cross), dtype=np.int32)
+                    u_sel = np.full(nupd, len(cross), dtype=np.int32)
+                    acc_sel = np.full(nupd, nacc - 1, dtype=np.int32)
+                    l_sel[: len(upd)] = olsel[upd]
+                    u_sel[: len(upd)] = ousel[upd]
+                    acc_sel[: len(upd)] = np.searchsorted(
+                        odst[starts[gs]], odst[upd])
+                    dst_ids = np.full(nacc, st.num_tiles,
+                                      dtype=np.int32)
+                    dst_ids[: len(gs)] = odst[starts[gs]]
+                    # padded update rows: scratch-cross tiles are zero
+                    # -> zero products accumulated into the padded slot
+                    st.values = _apply_out_updates(
+                        st.values, st.idx, st.off, st.cap, dense,
+                        jnp.asarray(l_sel), jnp.asarray(u_sel),
+                        jnp.asarray(acc_sel), jnp.asarray(dst_ids),
+                        nb=nb, capw=int(capw), nacc=nacc)
+                    i = j
 
         # 4. compress the factored cross back into the store (same
         # slabbing as the gather: bounded staging temporaries)
